@@ -1,0 +1,176 @@
+"""Vectorized self-play driver.
+
+Replaces the reference's thread-per-game loop (cc/selfplay/self_play_thread.cc
+Run :309-920) with one lockstep array program: a batch of B games advances
+one move per jitted step (search -> temperature sampling -> superko guard ->
+board step -> record write). Finished games are finalized on the host
+(TD targets, tf_recorder.cc:186-215 semantics) and their slots reset to
+fresh games, so the batch is always full.
+
+Reference knobs carried over: temperature decay 0.8 -> ~0.2 with half-life
+19 moves (self_play_thread.cc:570-581), resign disabled by default, max game
+length cap. Playout-cap randomization (selected/fast move tiers) is a
+batch-global coin flip per step for now — per-board search-size bucketing is
+a planned optimization (SURVEY.md §7 hard parts: heterogeneous budgets).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p3achygo_tpu.constants import (
+    BLACK,
+    MAX_GAME_LEN,
+    NUM_LAST_MOVES,
+    NUM_LOCS,
+    NUM_MOVES,
+    PASS_MOVE,
+    WHITE,
+)
+from p3achygo_tpu.game.board import (
+    GoState,
+    is_game_over,
+    new_state,
+    step,
+    superko_violation,
+)
+from p3achygo_tpu.game.scoring import score as score_board
+from p3achygo_tpu.mcts.gumbel import EvalFn, SearchParams, search_root
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfplayConfig:
+    batch_size: int = 64
+    komi: float = 7.5
+    max_game_len: int = MAX_GAME_LEN
+    # search tiers (selfplay/main.cc:40-47: selected n=128 k=8,
+    # default n=32 k=5 at scale; small defaults here for bring-up)
+    selected_n: int = 32
+    selected_k: int = 4
+    fast_n: int = 16
+    fast_k: int = 4
+    trainable_move_prob: float = 0.25  # kMoveSelectedForTrainingProb
+    # temperature schedule (self_play_thread.cc:570-581)
+    tau_initial: float = 0.8
+    tau_min: float = 0.2
+    tau_half_life: int = 19
+    noise_scale: float = 1.0
+    disable_pass_initial_moves: int = 0
+
+
+class GameBuffer(NamedTuple):
+    """Per-move device records for in-flight games [B, T, ...]."""
+
+    stones: jnp.ndarray  # int8[B, T, 361] position BEFORE the move
+    last_moves: jnp.ndarray  # int16[B, T, 5]
+    to_move: jnp.ndarray  # int8[B, T]
+    pi: jnp.ndarray  # f32[B, T, 362] improved policy
+    move: jnp.ndarray  # int16[B, T] move played
+    root_q_outcome: jnp.ndarray  # f32[B, T] stitched root outcome value
+    root_score: jnp.ndarray  # f32[B, T] root score estimate
+    kld: jnp.ndarray  # f32[B, T]
+    trainable: jnp.ndarray  # bool[B, T]
+    visits: jnp.ndarray  # int32[B, T]
+
+
+def make_game_buffer(B: int, T: int) -> GameBuffer:
+    return GameBuffer(
+        stones=jnp.zeros((B, T, NUM_LOCS), jnp.int8),
+        last_moves=jnp.zeros((B, T, NUM_LAST_MOVES), jnp.int16),
+        to_move=jnp.zeros((B, T), jnp.int8),
+        pi=jnp.zeros((B, T, NUM_MOVES), jnp.float32),
+        move=jnp.zeros((B, T), jnp.int16),
+        root_q_outcome=jnp.zeros((B, T), jnp.float32),
+        root_score=jnp.zeros((B, T), jnp.float32),
+        kld=jnp.zeros((B, T), jnp.float32),
+        trainable=jnp.zeros((B, T), jnp.bool_),
+        visits=jnp.zeros((B, T), jnp.int32),
+    )
+
+
+def tau_schedule(move_count: jnp.ndarray, cfg: SelfplayConfig) -> jnp.ndarray:
+    decay = 0.5 ** (move_count.astype(jnp.float32) / cfg.tau_half_life)
+    return jnp.maximum(cfg.tau_initial * decay, cfg.tau_min)
+
+
+def selfplay_step(states: GoState, buf: GameBuffer, key: jax.Array,
+                  eval_fn: EvalFn, params: SearchParams,
+                  cfg: SelfplayConfig, trainable: bool
+                  ) -> Tuple[GoState, GameBuffer, jax.Array]:
+    """One lockstep move for the whole batch. `params`/`trainable` static."""
+    B = states.stones.shape[0]
+    b = jnp.arange(B)
+    key, ksearch = jax.random.split(key)
+
+    tau = tau_schedule(states.move_count, cfg)
+    res = search_root(ksearch, states, eval_fn, params, tau=tau)
+
+    # Exact positional-superko guard on the sampled move (the in-tree mask
+    # is the cheap one): violating moves fall back to the deterministic
+    # improved-policy argmax, then to pass.
+    viol = jax.vmap(superko_violation)(states, res.mcts_move)
+    alt = jnp.argmax(
+        res.pi_improved.at[b, jnp.clip(res.mcts_move, 0, NUM_MOVES - 1)].set(-1.0),
+        axis=-1).astype(jnp.int32)
+    alt_viol = jax.vmap(superko_violation)(states, alt)
+    move = jnp.where(viol, jnp.where(alt_viol, PASS_MOVE, alt), res.mcts_move)
+
+    over = jax.vmap(is_game_over)(states)
+    move = jnp.where(over, PASS_MOVE, move)
+
+    t = jnp.clip(states.move_count, 0, cfg.max_game_len - 1)
+    active = ~over
+    wr = lambda arr, val, dtype=None: arr.at[b, t].set(
+        jnp.where(jnp.reshape(active, (B,) + (1,) * (val.ndim - 1)),
+                  val.astype(arr.dtype), arr[b, t]))
+    buf = buf._replace(
+        stones=wr(buf.stones, states.stones),
+        last_moves=wr(buf.last_moves, states.last_moves),
+        to_move=wr(buf.to_move, states.to_move),
+        pi=wr(buf.pi, res.pi_improved),
+        move=wr(buf.move, move),
+        root_q_outcome=wr(buf.root_q_outcome, res.root_outcome),
+        root_score=wr(buf.root_score, res.root_score_est),
+        kld=wr(buf.kld, res.kld),
+        visits=wr(buf.visits, res.visits),
+        trainable=buf.trainable.at[b, t].set(
+            jnp.where(active, jnp.bool_(trainable), buf.trainable[b, t])),
+    )
+
+    new_states, _ = jax.vmap(step)(states, move)
+    # Finished boards stay frozen until reset.
+    states = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(
+            jnp.reshape(active, (B,) + (1,) * (new.ndim - 1)), new, old),
+        new_states, states)
+    return states, buf, key
+
+
+def finished_mask(states: GoState, cfg: SelfplayConfig) -> jnp.ndarray:
+    return jax.vmap(is_game_over)(states) | (states.move_count >= cfg.max_game_len)
+
+
+def final_scores(states: GoState):
+    """Batched terminal scoring -> (black, white, ownership[B, 361])."""
+    return jax.vmap(score_board)(states)
+
+
+def reset_finished(states: GoState, buf: GameBuffer, done: jnp.ndarray,
+                   komi: float) -> Tuple[GoState, GameBuffer]:
+    """Replace finished boards with fresh games and clear their records."""
+    B = states.stones.shape[0]
+    fresh = jax.vmap(lambda _: new_state(komi))(jnp.arange(B))
+    states = jax.tree_util.tree_map(
+        lambda f, old: jnp.where(
+            jnp.reshape(done, (B,) + (1,) * (f.ndim - 1)), f, old),
+        fresh, states)
+    buf = jax.tree_util.tree_map(
+        lambda arr: jnp.where(
+            jnp.reshape(done, (B,) + (1,) * (arr.ndim - 1)),
+            jnp.zeros_like(arr), arr),
+        buf)
+    return states, buf

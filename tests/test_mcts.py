@@ -1,0 +1,123 @@
+"""Gumbel search tests with synthetic evaluators.
+
+Mirrors cc/mcts/__tests__/gumbel_test.cc:20-60: build positions where child
+values are known and assert the search overrides a misleading prior.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p3achygo_tpu.constants import BLACK, NUM_MOVES, PASS_MOVE, WHITE
+from p3achygo_tpu.game import is_game_over, legal_mask, new_state, step
+from p3achygo_tpu.mcts import EvalOutput, SearchParams, search_root, uniform_eval_fn
+
+GOOD = 5 * 19 + 5
+BAD = 3 * 19 + 3
+
+
+def value_eval_fn(states):
+    """+0.9 for black iff black owns GOOD; consistent across the tree."""
+    B = states.stones.shape[0]
+    v_black = jnp.where(states.stones[:, GOOD] == BLACK, 0.9, -0.9)
+    value = v_black * jnp.where(states.to_move == BLACK, 1.0, -1.0)
+    logits = jnp.zeros((B, NUM_MOVES))
+    logits = logits.at[:, BAD].set(5.0).at[:, GOOD].set(2.0)
+    return EvalOutput(
+        log_priors=jax.nn.log_softmax(logits, axis=-1),
+        outcome_value=value,
+        score_est=jnp.zeros((B,)),
+        score_var=jnp.zeros((B,)),
+    )
+
+
+def batch_states(B):
+    return jax.vmap(lambda _: new_state())(jnp.arange(B))
+
+
+class TestGumbelValue:
+    def test_overrides_misleading_prior(self):
+        states = batch_states(2)
+        params = SearchParams(n=16, k=4, noise_scale=0.0, tau=0.0)
+        res = search_root(jax.random.PRNGKey(0), states, value_eval_fn, params)
+        assert np.asarray(res.mcts_move).tolist() == [GOOD, GOOD]
+        assert np.asarray(res.raw_nn_move).tolist() == [BAD, BAD]
+
+    def test_improved_policy_shifts_mass(self):
+        states = batch_states(1)
+        params = SearchParams(n=16, k=4, noise_scale=0.0, tau=0.0)
+        res = search_root(jax.random.PRNGKey(0), states, value_eval_fn, params)
+        pi = np.asarray(res.pi_improved)[0]
+        prior = np.exp(np.asarray(value_eval_fn(states).log_priors)[0])
+        assert pi[GOOD] > prior[GOOD]
+        assert pi[BAD] < prior[BAD]
+        assert res.kld.shape == (1,)
+        assert float(res.kld[0]) > 0
+
+    def test_visit_budget(self):
+        states = batch_states(1)
+        params = SearchParams(n=16, k=4, noise_scale=0.0)
+        res = search_root(jax.random.PRNGKey(0), states, value_eval_fn, params)
+        # schedule: rounds=2; k=4: v=2 (8 sims); k=2: v=4 (8 sims)
+        assert int(res.visits[0]) == 16
+        assert int(res.root_child_visits.sum()) == 16
+
+    def test_n1_returns_raw_policy(self):
+        states = batch_states(1)
+        params = SearchParams(n=1, k=4)
+        res = search_root(jax.random.PRNGKey(0), states, value_eval_fn, params)
+        assert int(res.mcts_move[0]) == BAD  # argmax prior
+        assert int(res.visits[0]) == 0
+
+
+class TestGumbelMechanics:
+    def test_moves_are_legal(self):
+        # Run several searches through a real game; selected moves always
+        # legal.
+        states = batch_states(4)
+        params = SearchParams(n=8, k=4, noise_scale=1.0, tau=0.8)
+        key = jax.random.PRNGKey(1)
+        for i in range(6):
+            key, k = jax.random.split(key)
+            res = search_root(k, states, uniform_eval_fn, params)
+            masks = np.asarray(jax.vmap(legal_mask)(states))
+            mv = np.asarray(res.mcts_move)
+            for bi in range(4):
+                assert masks[bi, mv[bi]], (bi, mv[bi])
+            states, statuses = jax.vmap(step)(states, res.mcts_move)
+            assert (np.asarray(statuses) == 0).all()
+
+    def test_terminal_board_passes(self):
+        states = batch_states(2)
+        for _ in range(2):
+            states, _ = jax.vmap(step)(
+                states, jnp.full((2,), PASS_MOVE, jnp.int32))
+        assert bool(jax.vmap(is_game_over)(states).all())
+        params = SearchParams(n=8, k=4)
+        res = search_root(jax.random.PRNGKey(0), states, uniform_eval_fn, params)
+        assert np.asarray(res.mcts_move).tolist() == [PASS_MOVE, PASS_MOVE]
+        assert int(res.visits.sum()) == 0
+
+    def test_deterministic_given_key(self):
+        states = batch_states(2)
+        params = SearchParams(n=8, k=4, noise_scale=1.0, tau=0.5)
+        r1 = search_root(jax.random.PRNGKey(7), states, uniform_eval_fn, params)
+        r2 = search_root(jax.random.PRNGKey(7), states, uniform_eval_fn, params)
+        assert np.asarray(r1.mcts_move).tolist() == np.asarray(r2.mcts_move).tolist()
+        np.testing.assert_allclose(np.asarray(r1.pi_improved),
+                                   np.asarray(r2.pi_improved))
+
+    def test_pi_improved_normalized_and_masked(self):
+        states = batch_states(2)
+        states, _ = jax.vmap(step)(states, jnp.full((2,), 60, jnp.int32))
+        params = SearchParams(n=8, k=4, noise_scale=0.5)
+        res = search_root(jax.random.PRNGKey(0), states, uniform_eval_fn, params)
+        pi = np.asarray(res.pi_improved)
+        np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+        assert (pi[:, 60] < 1e-6).all()  # occupied point masked
+
+    def test_jit_compiles(self):
+        params = SearchParams(n=8, k=4)
+        f = jax.jit(lambda key, s: search_root(key, s, uniform_eval_fn, params))
+        states = batch_states(2)
+        res = f(jax.random.PRNGKey(0), states)
+        assert res.mcts_move.shape == (2,)
