@@ -1,0 +1,79 @@
+"""Benchmark: self-play moves/s/chip on b12c128 @ 19x19 (BASELINE.json).
+
+Runs the full vectorized self-play step (Gumbel n=32 k=4 search with
+in-graph b12c128btl3 bf16 inference, superko guard, board step, record
+writes) on the real chip and reports lockstep moves/s.
+
+Reference anchor: ~70 min/generation at 5,000 games/gen on 1x A100 + 30
+vCPU => ~250-400 self-play moves/s system-wide (BASELINE.md, journal.md:188).
+vs_baseline uses the 325 moves/s midpoint.
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Persistent compile cache: the axon remote-compile path is slow; cache
+# compiled executables across bench runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+BASELINE_MOVES_PER_SEC = 325.0
+
+
+def main():
+    from p3achygo_tpu.game.board import new_state
+    from p3achygo_tpu.mcts.gumbel import SearchParams, make_eval_fn
+    from p3achygo_tpu.models import build_model, get_config, init_params
+    from p3achygo_tpu.selfplay.loop import (
+        SelfplayConfig,
+        make_game_buffer,
+        selfplay_step,
+    )
+
+    B = 256
+    cfg = SelfplayConfig(batch_size=B)
+    params = SearchParams(n=32, k=4, noise_scale=1.0, max_depth=24)
+
+    model = build_model(get_config("b12c128btl3"), dtype=jnp.bfloat16)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    eval_fn = make_eval_fn(model, variables)
+
+    @jax.jit
+    def sp_step(states, buf, key):
+        return selfplay_step(states, buf, key, eval_fn, params, cfg,
+                             trainable=True)
+
+    states = jax.vmap(lambda _: new_state(cfg.komi))(jnp.arange(B))
+    buf = make_game_buffer(B, cfg.max_game_len)
+    key = jax.random.PRNGKey(1)
+
+    # Warmup/compile.
+    states, buf, key = sp_step(states, buf, key)
+    jax.block_until_ready(states.stones)
+
+    steps = 8
+    t0 = time.time()
+    for _ in range(steps):
+        states, buf, key = sp_step(states, buf, key)
+    jax.block_until_ready(states.stones)
+    dt = time.time() - t0
+
+    moves_per_sec = B * steps / dt
+    print(json.dumps({
+        "metric": "selfplay_moves_per_sec_per_chip_b12c128_n32k4",
+        "value": round(moves_per_sec, 2),
+        "unit": "moves/s/chip",
+        "vs_baseline": round(moves_per_sec / BASELINE_MOVES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

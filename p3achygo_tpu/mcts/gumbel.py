@@ -31,6 +31,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from p3achygo_tpu.constants import (
     BLACK,
@@ -81,7 +82,14 @@ class SearchParams:
     c_scale: float = 1.0
     score_weight: float = 0.5
     disable_pass: bool = False
-    use_terminal_scoring: bool = True
+    # In-tree terminal evaluation: "exact" runs full Benson scoring on any
+    # sim that reaches a finished game (reference semantics,
+    # leaf_evaluator.cc:157-188) but costs a large compiled subgraph;
+    # "cheap" uses 1-step Tromp-Taylor attribution (stones + empties
+    # adjacent to exactly one color), which matches exact scoring on
+    # settled endgame positions. Real game results always use exact
+    # scoring (selfplay harvest).
+    terminal_mode: str = "cheap"
 
 
 class GumbelResult(NamedTuple):
@@ -137,11 +145,38 @@ def _score_utility(score_weight, score_est, root_score_signed):
         (score_est - root_score_signed) / BOARD_LEN)
 
 
+def _cheap_scores(states: GoState):
+    """1-step Tromp-Taylor: stones + empties adjacent to exactly one color.
+
+    Exact on settled terminal positions (every empty region of size 1-2
+    bordered by one color); an approximation for premature double-pass
+    positions deep in the tree. -> (black, white) [B] each.
+    """
+    from p3achygo_tpu.game.board import NEIGHBORS, _pad
+
+    def one(stones, komi):
+        nbr = _pad(stones, jnp.int8(99))[NEIGHBORS]  # [361, 4]
+        empty = stones == 0
+        b_adj = jnp.any(nbr == 1, axis=1)
+        w_adj = jnp.any(nbr == -1, axis=1)
+        b = jnp.sum((stones == 1) | (empty & b_adj & ~w_adj))
+        w = jnp.sum((stones == -1) | (empty & w_adj & ~b_adj))
+        return b.astype(jnp.float32), w.astype(jnp.float32) + komi
+
+    return jax.vmap(one)(states.stones, states.komi)
+
+
 def _init_nodes(tree: Tree, node: jnp.ndarray, ev: EvalOutput,
                 color: jnp.ndarray, util: jnp.ndarray,
-                active: jnp.ndarray) -> Tree:
-    """Write NN eval into node slots (InitFields, leaf_evaluator.cc:93-122)."""
-    b = jnp.arange(node.shape[0])
+                active: jnp.ndarray, bidx: jnp.ndarray = None) -> Tree:
+    """Write NN eval into node slots (InitFields, leaf_evaluator.cc:93-122).
+
+    Inactive rows are routed to the reserved spare slot (last node index) so
+    duplicate scatter indices across k-wide lanes can't clobber live writes.
+    """
+    b = jnp.arange(node.shape[0]) if bidx is None else bidx
+    spare = tree.n.shape[1] - 1
+    node = jnp.where(active, node, spare)
     sel = lambda new, old: jnp.where(active, new, old)
     return tree._replace(
         log_priors=tree.log_priors.at[b, node].set(
@@ -160,13 +195,13 @@ def _init_nodes(tree: Tree, node: jnp.ndarray, ev: EvalOutput,
 
 
 def _nonroot_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
-                    c_visit: float, c_scale: float) -> jnp.ndarray:
+                    c_visit: float, c_scale: float,
+                    bidx: jnp.ndarray = None) -> jnp.ndarray:
     """Improved-policy-minus-visit-share argmax (gumbel.cc:214-237)."""
-    B = node.shape[0]
-    b = jnp.arange(B)
-    logp = tree.log_priors[b, node]  # [B, 362]
-    q = q_of_children(tree, node)
-    nvis = child_visits(tree, node)
+    b = jnp.arange(node.shape[0]) if bidx is None else bidx
+    logp = tree.log_priors[b, node]  # [W, 362]
+    q = q_of_children(tree, node, b)
+    nvis = child_visits(tree, node, b)
     visited = nvis > 0
     maxn = jnp.max(nvis, axis=-1)
     sum_children = jnp.maximum(tree.n[b, node] - 1, 0).astype(jnp.float32)
@@ -292,16 +327,32 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
     cand_valid = jnp.take_along_axis(legal0, cand_actions, axis=1)
     board_over = jax.vmap(is_game_over)(states)
 
-    def simulate(carry, slot):
-        tree, key = carry
-        action0 = jnp.take_along_axis(cand_actions, slot[None, None].repeat(B, 0),
-                                      axis=1)[:, 0]
-        valid0 = jnp.take_along_axis(cand_valid, slot[None, None].repeat(B, 0),
-                                     axis=1)[:, 0] & ~board_over
+    # --- k-wide visit sweeps ---
+    # The reference visits the k candidates sequentially within each visit
+    # round (gumbel.cc:413-446), but candidate subtrees are disjoint and the
+    # root takes no stat updates during search, so all k sims of a sweep are
+    # independent: run them as one [B*k]-wide batched simulation. Sequential
+    # sim steps drop from n to sum_r v_r and every NN eval batches B*k
+    # leaves onto the MXU.
+    W = B * k
+    bw = jnp.arange(W) // k  # board index per lane
+    cw = jnp.arange(W) % k  # candidate slot per lane
+    spare = max_nodes - 1  # reserved dummy slot for inactive-lane scatters
+    states_wide = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, k, axis=0), states)
+    root_color_w = root_color[bw]
+    root_score_w = root_score_est[bw]
 
-        # --- descent (Search, gumbel.cc:674-727) ---
+    def simulate(carry, xs):
+        tree, cand_actions, cand_valid, key = carry
+        active_k, rerank_k = xs
+        action0 = cand_actions[bw, cw]  # [W]
+        valid0 = cand_valid[bw, cw] & (cw < active_k) & ~board_over[bw]
+
+        # --- descent (Search, gumbel.cc:674-727), k-wide ---
         D = params.max_depth
-        path_nodes = jnp.full((B, D), -1, jnp.int32)
+        path_nodes0 = jnp.full((W, D), -1, jnp.int32)
+        lane = jnp.arange(W)
 
         def body(carry):
             (tree, scratch, cur, depth, done, path_nodes, leaf_new,
@@ -310,29 +361,40 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             node = cur  # parent for this edge; at depth 0, node == root(0)
             legal = jax.vmap(legal_mask)(scratch)
             a_policy = _nonroot_action(tree, node, legal, params.c_visit,
-                                       params.c_scale)
+                                       params.c_scale, bw)
             a = jnp.where(depth == 0, action0, a_policy)
 
             new_scratch, _ = jax.vmap(step)(scratch, a)
             scratch = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(
-                    jnp.reshape(active, (B,) + (1,) * (new.ndim - 1)), new, old),
+                    jnp.reshape(active, (W,) + (1,) * (new.ndim - 1)), new, old),
                 new_scratch, scratch)
 
-            child = tree.children[b, node, a]
+            child = tree.children[bw, node, a]
             need_alloc = (child < 0) & active
-            child_idx = jnp.where(need_alloc, tree.next_free, child)
+            # Per-board allocation ranks so concurrent lanes get distinct
+            # node slots.
+            na = need_alloc.reshape(B, k)
+            rank = jnp.cumsum(na, axis=1) - na
+            alloc_idx = (tree.next_free[:, None] + rank).reshape(-1)
+            child_idx = jnp.where(need_alloc, alloc_idx, child).astype(jnp.int32)
+            # Inactive lanes write to the spare slot (duplicate scatter
+            # indices across lanes must not clobber live writes).
+            node_w = jnp.where(active, node, spare)
+            a_w = jnp.where(active, a, 0)
             tree = tree._replace(
-                children=tree.children.at[b, node, a].set(
-                    jnp.where(active, child_idx, tree.children[b, node, a])),
-                next_free=tree.next_free + need_alloc.astype(jnp.int32),
+                children=tree.children.at[bw, node_w, a_w].set(
+                    jnp.where(active, child_idx,
+                              tree.children[bw, node_w, a_w])),
+                next_free=tree.next_free + jnp.sum(na, axis=1),
             )
             terminal_board = jax.vmap(is_game_over)(scratch) & active
-            known_terminal = tree.is_terminal[b, jnp.clip(child_idx, 0, max_nodes - 1)]
+            known_terminal = tree.is_terminal[
+                bw, jnp.clip(child_idx, 0, max_nodes - 1)]
             stop = (need_alloc | terminal_board | known_terminal) & active
 
-            path_nodes = path_nodes.at[b, depth].set(
-                jnp.where(active, child_idx, path_nodes[b, depth]))
+            path_nodes = path_nodes.at[lane, depth].set(
+                jnp.where(active, child_idx, path_nodes[lane, depth]))
             leaf_new = jnp.where(stop & need_alloc & ~terminal_board, True,
                                  leaf_new)
             leaf_terminal = jnp.where(stop & terminal_board, True, leaf_terminal)
@@ -346,121 +408,161 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             done = carry[4]
             return ~jnp.all(done)
 
-        init = (tree, states, jnp.zeros((B,), jnp.int32),
-                jnp.zeros((B,), jnp.int32), ~valid0, path_nodes,
-                jnp.zeros((B,), jnp.bool_), jnp.zeros((B,), jnp.bool_))
+        init = (tree, states_wide, jnp.zeros((W,), jnp.int32),
+                jnp.zeros((W,), jnp.int32), ~valid0, path_nodes0,
+                jnp.zeros((W,), jnp.bool_), jnp.zeros((W,), jnp.bool_))
         (tree, leaf_states, leaf_node, depth, _, path_nodes, leaf_new,
          leaf_terminal) = jax.lax.while_loop(cond, body, init)
 
         leaf_color = leaf_states.to_move
-        root_sign = jnp.where(leaf_color == root_color, 1.0, -1.0)
+        root_sign = jnp.where(leaf_color == root_color_w, 1.0, -1.0)
 
-        # --- leaf evaluation ---
+        # --- leaf evaluation (one [B*k] NN call) ---
         ev = eval_fn(leaf_states)
         util = ev.outcome_value + _score_utility(
-            params.score_weight, ev.score_est, root_sign * root_score_est)
+            params.score_weight, ev.score_est, root_sign * root_score_w)
         eval_active = leaf_new & valid0
-        tree = _init_nodes(tree, leaf_node, ev, leaf_color, util, eval_active)
+        tree = _init_nodes(tree, leaf_node, ev, leaf_color, util, eval_active,
+                           bw)
 
         # --- terminal evaluation (EvaluateTerminal, leaf_evaluator.cc:157-188)
         def with_terminal(tree):
-            bs, ws, _ = jax.vmap(score_board)(leaf_states)
+            if params.terminal_mode == "exact":
+                bs, ws, _ = jax.vmap(score_board)(leaf_states)
+            else:
+                bs, ws = _cheap_scores(leaf_states)
             player = jnp.where(leaf_color == BLACK, bs, ws)
             oppv = jnp.where(leaf_color == BLACK, ws, bs)
             final_score = player - oppv
             emp_out = jnp.where(player > oppv, 1.0, -1.0)
             emp_q = emp_out + _score_utility(params.score_weight, final_score,
-                                             root_sign * root_score_est)
-            t_active = leaf_terminal & valid0 & ~tree.is_terminal[b, leaf_node]
+                                             root_sign * root_score_w)
+            t_active = leaf_terminal & valid0 \
+                & ~tree.is_terminal[bw, leaf_node]
+            ln = jnp.where(t_active, leaf_node, spare)
             sel = lambda new, old: jnp.where(t_active, new, old)
             return tree._replace(
-                init_util=tree.init_util.at[b, leaf_node].set(
-                    sel(emp_q, tree.init_util[b, leaf_node])),
-                init_outcome=tree.init_outcome.at[b, leaf_node].set(
-                    sel(emp_out, tree.init_outcome[b, leaf_node])),
-                init_score=tree.init_score.at[b, leaf_node].set(
-                    sel(final_score, tree.init_score[b, leaf_node])),
-                color=tree.color.at[b, leaf_node].set(
+                init_util=tree.init_util.at[bw, ln].set(
+                    sel(emp_q, tree.init_util[bw, ln])),
+                init_outcome=tree.init_outcome.at[bw, ln].set(
+                    sel(emp_out, tree.init_outcome[bw, ln])),
+                init_score=tree.init_score.at[bw, ln].set(
+                    sel(final_score, tree.init_score[bw, ln])),
+                color=tree.color.at[bw, ln].set(
                     jnp.where(t_active, leaf_color,
-                              tree.color[b, leaf_node]).astype(jnp.int8)),
-                is_terminal=tree.is_terminal.at[b, leaf_node].set(
-                    tree.is_terminal[b, leaf_node] | t_active),
-                evaluated=tree.evaluated.at[b, leaf_node].set(
-                    tree.evaluated[b, leaf_node] | t_active),
+                              tree.color[bw, ln]).astype(jnp.int8)),
+                is_terminal=tree.is_terminal.at[bw, ln].set(
+                    tree.is_terminal[bw, ln] | t_active),
+                evaluated=tree.evaluated.at[bw, ln].set(
+                    tree.evaluated[bw, ln] | t_active),
             )
 
-        if params.use_terminal_scoring:
+        if params.terminal_mode == "exact":
+            # Full scoring is a large subgraph; only execute when some sim
+            # actually reached a finished game.
             tree = jax.lax.cond(jnp.any(leaf_terminal & valid0), with_terminal,
                                 lambda t: t, tree)
+        else:
+            tree = with_terminal(tree)
 
         # --- backprop (Backward, gumbel.cc:738-761) ---
-        leaf_q = tree.init_util[b, leaf_node]
-        leaf_qz = tree.init_outcome[b, leaf_node]
-        leaf_score = tree.init_score[b, leaf_node]
-        leaf_c = tree.color[b, leaf_node]
+        leaf_q = tree.init_util[bw, leaf_node]
+        leaf_qz = tree.init_outcome[bw, leaf_node]
+        leaf_score = tree.init_score[bw, leaf_node]
+        leaf_c = tree.color[bw, leaf_node]
 
-        def backup_step(tree, d):
-            node = path_nodes[b, d]
-            on_path = (node >= 0) & valid0
-            node_s = jnp.clip(node, 0, max_nodes - 1)
-            sign = jnp.where(tree.color[b, node_s] == leaf_c, 1.0, -1.0)
-            is_leaf_slot = node == leaf_node
-            q = sign * leaf_q
-            qz = sign * leaf_qz
-            sc = sign * leaf_score
-            inc = on_path.astype(jnp.int32)
-            # Leaf nodes keep v == init (SingleBackup is_leaf branch,
-            # gumbel.cc:763-771): add init each visit so w/n == init.
-            add_w = jnp.where(is_leaf_slot, tree.init_util[b, node_s], q)
-            add_wz = jnp.where(is_leaf_slot, tree.init_outcome[b, node_s], qz)
-            add_sc = jnp.where(is_leaf_slot, tree.init_score[b, node_s], sc)
-            n_old = tree.n[b, node_s].astype(jnp.float32)
-            n_new = n_old + inc
-            v_old = jnp.where(n_old > 0, tree.w[b, node_s] / jnp.maximum(n_old, 1),
-                              tree.init_util[b, node_s])
-            w_new = tree.w[b, node_s] + jnp.where(on_path, add_w, 0.0)
-            v_new = w_new / jnp.maximum(n_new, 1)
-            dvar = (q - v_old) * (q - v_new)
-            bucket = jnp.clip(((qz + 1.0) / V_BUCKET_RANGE).astype(jnp.int32), 0,
-                              NUM_V_BUCKETS - 1)
-            return tree._replace(
-                n=tree.n.at[b, node_s].add(inc),
-                w=tree.w.at[b, node_s].add(jnp.where(on_path, add_w, 0.0)),
-                w_outcome=tree.w_outcome.at[b, node_s].add(
-                    jnp.where(on_path, add_wz, 0.0)),
-                score_sum=tree.score_sum.at[b, node_s].add(
-                    jnp.where(on_path, add_sc, 0.0)),
-                v_var_sum=tree.v_var_sum.at[b, node_s].add(
-                    jnp.where(on_path & ~is_leaf_slot, dvar, 0.0)),
-                v_categorical=tree.v_categorical.at[b, node_s, bucket].add(
-                    jnp.where(on_path & ~is_leaf_slot, 1, 0)),
-            ), None
+        # Path nodes are distinct within a sim AND across the k lanes of a
+        # board (disjoint subtrees), so the whole sweep's backup is ONE
+        # batched scatter over [W, D]; off-path entries add zeros.
+        bD = bw[:, None]  # [W, 1]
+        nodes = path_nodes  # [W, D]
+        on_path = (nodes >= 0) & valid0[:, None]
+        node_s = jnp.clip(nodes, 0, max_nodes - 1)
+        sign = jnp.where(tree.color[bD, node_s] == leaf_c[:, None], 1.0, -1.0)
+        is_leaf_slot = nodes == leaf_node[:, None]
+        q = sign * leaf_q[:, None]
+        qz = sign * leaf_qz[:, None]
+        sc = sign * leaf_score[:, None]
+        # Leaf nodes keep v == init (SingleBackup is_leaf branch,
+        # gumbel.cc:763-771): add init each visit so w/n == init.
+        add_w = jnp.where(is_leaf_slot, tree.init_util[bD, node_s], q)
+        add_wz = jnp.where(is_leaf_slot, tree.init_outcome[bD, node_s], qz)
+        add_sc = jnp.where(is_leaf_slot, tree.init_score[bD, node_s], sc)
+        n_old = tree.n[bD, node_s].astype(jnp.float32)
+        inc = on_path.astype(jnp.int32)
+        n_new = n_old + inc
+        v_old = jnp.where(n_old > 0,
+                          tree.w[bD, node_s] / jnp.maximum(n_old, 1),
+                          tree.init_util[bD, node_s])
+        w_new = tree.w[bD, node_s] + jnp.where(on_path, add_w, 0.0)
+        v_new = w_new / jnp.maximum(n_new, 1)
+        dvar = (q - v_old) * (q - v_new)
+        bucket = jnp.clip(((qz + 1.0) / V_BUCKET_RANGE).astype(jnp.int32), 0,
+                          NUM_V_BUCKETS - 1)
+        nonleaf = on_path & ~is_leaf_slot
+        # One-hot contraction instead of scatter-add: batched multi-index
+        # scatters serialize on TPU; this is a small MXU matmul. All k*D
+        # path entries of a board fold into one [I, max_nodes] one-hot.
+        I = k * D
+        oh = jax.nn.one_hot(node_s.reshape(B, I), max_nodes,
+                            dtype=jnp.float32)  # [B, I, N]
+        onp = on_path.reshape(B, I).astype(jnp.float32)
+        nlf = nonleaf.reshape(B, I).astype(jnp.float32)
+        acc = lambda vals, m: jnp.einsum(
+            "bi,bin->bn", vals.reshape(B, I) * m, oh,
+            preferred_element_type=jnp.float32)
+        oh_bucket = jax.nn.one_hot(bucket.reshape(B, I), NUM_V_BUCKETS,
+                                   dtype=jnp.float32)
+        cat_add = jnp.einsum("bin,bik->bnk", oh * nlf[:, :, None], oh_bucket,
+                             preferred_element_type=jnp.float32)
+        tree = tree._replace(
+            n=tree.n + acc(inc.astype(jnp.float32), onp).astype(jnp.int32),
+            w=tree.w + acc(add_w, onp),
+            w_outcome=tree.w_outcome + acc(add_wz, onp),
+            score_sum=tree.score_sum + acc(add_sc, onp),
+            v_var_sum=tree.v_var_sum + acc(dvar, nlf),
+            v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
+        )
 
-        tree, _ = jax.lax.scan(backup_step, tree,
-                               jnp.arange(D - 1, -1, -1, dtype=jnp.int32))
-        return (tree, key), valid0.astype(jnp.int32)
+        # --- in-scan candidate re-ranking at round boundaries ---
+        # (update_qtransform + sort, gumbel.cc:355-366,469-471). rerank_k is
+        # the finishing round's candidate count, 0 between boundaries.
+        def rerank(operand):
+            tree, cand_actions, cand_valid, k_r = operand
+            q0 = q_of_children(tree, jnp.zeros((B,), jnp.int32))
+            nvis0 = child_visits(tree, jnp.zeros((B,), jnp.int32))
+            maxn = jnp.max(nvis0, axis=-1).astype(jnp.float32)
+            qtransform = (params.c_visit + maxn[:, None]) * params.c_scale * q0
+            cand_scores = jnp.take_along_axis(base_score + qtransform,
+                                              cand_actions, axis=1)
+            cand_scores = jnp.where(cand_valid, cand_scores, _BIG_NEG)
+            in_round = jnp.arange(k)[None, :] < k_r
+            cand_scores = jnp.where(in_round, cand_scores, _BIG_NEG)
+            order = jnp.argsort(-cand_scores, axis=1)
+            return (jnp.take_along_axis(cand_actions, order, axis=1),
+                    jnp.take_along_axis(cand_valid, order, axis=1))
 
-    visits_spent = jnp.zeros((B,), jnp.int32)
+        cand_actions, cand_valid = jax.lax.cond(
+            rerank_k > 0, rerank,
+            lambda op: (op[1], op[2]),
+            (tree, cand_actions, cand_valid, rerank_k))
+        visits = jnp.sum(valid0.reshape(B, k).astype(jnp.int32), axis=1)
+        return (tree, cand_actions, cand_valid, key), visits
+
+    # Flatten the halving schedule into sweeps: xs = (active_k, rerank_k)
+    # with one sweep per visit and rerank_k > 0 on the last sweep of each
+    # round. One scan => the NN eval subgraph is compiled once.
+    active_list, rerank_list = [], []
     for k_r, v_r in round_specs:
-        slots = jnp.tile(jnp.arange(k_r, dtype=jnp.int32), v_r)
-        (tree, key), valid_counts = jax.lax.scan(simulate, (tree, key), slots)
-        visits_spent = visits_spent + jnp.sum(valid_counts, axis=0)
-
-        # Re-rank candidates by logit + gumbel + qtransform
-        # (update_qtransform, gumbel.cc:355-366).
-        q0 = q_of_children(tree, jnp.zeros((B,), jnp.int32))
-        nvis0 = child_visits(tree, jnp.zeros((B,), jnp.int32))
-        maxn = jnp.max(nvis0, axis=-1).astype(jnp.float32)
-        qtransform = (params.c_visit + maxn[:, None]) * params.c_scale * q0
-        cand_scores = jnp.take_along_axis(base_score + qtransform, cand_actions,
-                                          axis=1)
-        cand_scores = jnp.where(cand_valid, cand_scores, _BIG_NEG)
-        # keep only current-round candidates in the ranking
-        in_round = jnp.arange(k)[None, :] < k_r
-        cand_scores = jnp.where(in_round, cand_scores, _BIG_NEG)
-        order = jnp.argsort(-cand_scores, axis=1)
-        cand_actions = jnp.take_along_axis(cand_actions, order, axis=1)
-        cand_valid = jnp.take_along_axis(cand_valid, order, axis=1)
+        active_list.extend([k_r] * v_r)
+        rer = [0] * v_r
+        rer[-1] = k_r
+        rerank_list.extend(rer)
+    xs = (jnp.asarray(np.array(active_list, np.int32)),
+          jnp.asarray(np.array(rerank_list, np.int32)))
+    (tree, cand_actions, cand_valid, key), visit_counts = jax.lax.scan(
+        simulate, (tree, cand_actions, cand_valid, key), xs)
+    visits_spent = jnp.sum(visit_counts, axis=0)
 
     # --- final improved policy (ComputeRootImprovedPolicy, gumbel.cc:154-175)
     q0 = q_of_children(tree, jnp.zeros((B,), jnp.int32))

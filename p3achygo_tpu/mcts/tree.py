@@ -75,22 +75,26 @@ def node_v(tree: Tree, node: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(n > 0, tree.w[b, node] / jnp.maximum(n, 1), MIN_Q)
 
 
-def q_of_children(tree: Tree, node: jnp.ndarray) -> jnp.ndarray:
-    """[B, 362] Q(node, a) = -v[child_a]; MIN_Q for missing children."""
-    B = tree.n.shape[0]
-    b = jnp.arange(B)
-    kids = tree.children[b, node]  # [B, 362]
+def q_of_children(tree: Tree, node: jnp.ndarray,
+                  bidx: jnp.ndarray = None) -> jnp.ndarray:
+    """[N, 362] Q(node, a) = -v[child_a]; MIN_Q for missing children.
+
+    `bidx` maps each row of `node` to its board (defaults to identity;
+    k-wide search passes repeated board indices).
+    """
+    b = jnp.arange(node.shape[0]) if bidx is None else bidx
+    kids = tree.children[b, node]  # [N, 362]
     safe = jnp.clip(kids, 0, tree.n.shape[1] - 1)
-    kid_n = tree.n[b[:, None], safe]  # [B, 362]
+    kid_n = tree.n[b[:, None], safe]  # [N, 362]
     kid_v = jnp.where(kid_n > 0,
                       tree.w[b[:, None], safe] / jnp.maximum(kid_n, 1), -MIN_Q)
     return jnp.where(kids >= 0, -kid_v, MIN_Q)
 
 
-def child_visits(tree: Tree, node: jnp.ndarray) -> jnp.ndarray:
-    """[B, 362] visit counts of node's children (0 if missing)."""
-    B = tree.n.shape[0]
-    b = jnp.arange(B)
-    kids = tree.children[b, node]  # [B, 362]
+def child_visits(tree: Tree, node: jnp.ndarray,
+                 bidx: jnp.ndarray = None) -> jnp.ndarray:
+    """[N, 362] visit counts of node's children (0 if missing)."""
+    b = jnp.arange(node.shape[0]) if bidx is None else bidx
+    kids = tree.children[b, node]  # [N, 362]
     safe = jnp.clip(kids, 0, tree.n.shape[1] - 1)
     return jnp.where(kids >= 0, tree.n[b[:, None], safe], 0)

@@ -1,0 +1,104 @@
+"""Run configuration (mirrors python/rl_loop/config.py:12-160 + config/*.json
+keys). JSON run configs under config/ use the same key names as the
+reference so runs carry over directly."""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class RunConfig:
+    run_id: str = "local"
+    from_existing_run: str = ""
+    model_config: str = "b12c128btl3"
+
+    # Training controls
+    num_generations: int = 100
+    games_first_gen: int = 1000
+    games_per_gen: int = 1000
+    batch_size: int = 256
+    lr: float = 1e-2
+    lr_schedule: Optional[List[Tuple[int, float]]] = None
+    min_lr: float = 1e-2
+    max_lr: float = 1e-2
+    use_cyclic_lr: bool = False
+    extra_train_gens: int = 0
+    lr_growth_window: int = 0
+    lr_transition_window: int = 10
+    optimizer: str = "sgd"  # 'sgd' | 'muon'
+    adam_wd: float = 0.01
+    muon_wd: float = 0.02
+    scale_weight_decay_by_rms: bool = False
+    wd_lr_exponent: Optional[float] = None
+    wd_lr_max: Optional[float] = None
+
+    # Gumbel controls: n/k grow linearly with generation
+    # (sp_loop.py:100-125 get_gumbel_params)
+    min_train_selected_k: int = 8
+    min_train_selected_n: int = 128
+    max_train_selected_k: int = 8
+    max_train_selected_n: int = 128
+    min_train_default_k: int = 5
+    min_train_default_n: int = 32
+    max_train_default_k: int = 5
+    max_train_default_n: int = 32
+    n_growth_window: int = 0
+    k_growth_window: int = 0
+    eval_k: int = 8
+    eval_n: int = 128
+    min_eval_n: int = 0
+    eval_n_growth_window: int = 0
+    use_seen_state_prob: float = 0.0
+    sel_mult_base: float = 1.0
+    sel_mult_scale_factor: float = 0.0
+    bias_cache_lambda: float = 0.0
+    bias_cache_alpha: float = 0.0
+    nonroot_var_scale_prior_visits: int = -1
+
+    # TPU-side extras (not in reference configs)
+    selfplay_batch_size: int = 256
+    train_batch_size: int = 256
+    eval_games: int = 64
+    eval_max_game_len: int = 600
+    selfplay_max_game_len: int = 600
+    replay_capacity: int = 1 << 20
+
+
+def gumbel_params_for_gen(cfg: RunConfig, gen: int,
+                          selected: bool) -> Tuple[int, int]:
+    """Linear n/k growth with generation, clamped (sp_loop.py:100-125)."""
+    if selected:
+        n0, n1 = cfg.min_train_selected_n, cfg.max_train_selected_n
+        k0, k1 = cfg.min_train_selected_k, cfg.max_train_selected_k
+    else:
+        n0, n1 = cfg.min_train_default_n, cfg.max_train_default_n
+        k0, k1 = cfg.min_train_default_k, cfg.max_train_default_k
+    nw = max(cfg.n_growth_window, 1)
+    kw = max(cfg.k_growth_window, 1)
+    n = n0 + (n1 - n0) * min(gen / nw, 1.0) if cfg.n_growth_window else n1
+    k = k0 + (k1 - k0) * min(gen / kw, 1.0) if cfg.k_growth_window else k1
+    n, k = int(round(n)), int(round(k))
+    # clamp so the final halving round has at least 1 visit per action
+    return max(n, 2 * k), max(k, 2)
+
+
+def parse(path_or_id: str, config_dir: str = "config") -> RunConfig:
+    """Load RunConfig from a JSON file path or a run id under config/."""
+    path = path_or_id
+    if not os.path.exists(path):
+        path = os.path.join(config_dir, path_or_id + ".json")
+    with open(path) as f:
+        obj = json.load(f)
+    cfg = RunConfig(run_id=os.path.splitext(os.path.basename(path))[0])
+    for key, val in obj.items():
+        if hasattr(cfg, key):
+            setattr(cfg, key, val)
+    if "games_first_gen" not in obj:
+        cfg.games_first_gen = cfg.games_per_gen
+    cfg.use_cyclic_lr = cfg.min_lr != cfg.max_lr
+    if cfg.lr_schedule is not None:
+        cfg.lr_schedule = [(int(t[0]), float(t[1])) for t in cfg.lr_schedule]
+    return cfg

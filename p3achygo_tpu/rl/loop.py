@@ -1,0 +1,203 @@
+"""Full RL generation loop (replaces python/rl_loop/train_sp_eval.py:145-487).
+
+Per generation: self-play `games_per_gen` games with the *golden* weights
+-> train the live model on the replay window -> SWA-average + BN refresh
+-> cur-vs-cand eval against golden -> promote iff relative Elo > 0
+(train_sp_eval.py:229-233) -> checkpoint model_%04d + live, append
+elo_history.txt (train_sp_eval.py:234-238).
+
+One process, one (or one mesh of) chip(s): the selfplay/shuffler/trainer
+file relay collapses into in-memory hand-off.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p3achygo_tpu.data.pipeline import prepare_batch
+from p3achygo_tpu.data.replay import ReplayBuffer
+from p3achygo_tpu.eval.harness import EvalConfig, run_eval
+from p3achygo_tpu.game.board import new_state
+from p3achygo_tpu.mcts.gumbel import SearchParams, make_eval_fn
+from p3achygo_tpu.models import LossCoeffs, build_model, get_config, init_params
+from p3achygo_tpu.rl.config import RunConfig, gumbel_params_for_gen
+from p3achygo_tpu.selfplay.loop import (
+    SelfplayConfig,
+    final_scores,
+    finished_mask,
+    make_game_buffer,
+    reset_finished,
+    selfplay_step,
+)
+from p3achygo_tpu.selfplay.records import finalize_game
+from p3achygo_tpu.train.checkpoint import save_checkpoint
+from p3achygo_tpu.train.optimizer import conv_muon, sgd_nesterov
+from p3achygo_tpu.train.step import create_train_state, make_train_step
+from p3achygo_tpu.train.swa import SnapshotManager, swa_average
+
+
+class GenerationLoop:
+    def __init__(self, cfg: RunConfig, root_dir: str = "runs/local",
+                 dtype=jnp.bfloat16, seed: int = 0):
+        self.cfg = cfg
+        self.root = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        self.model = build_model(get_config(cfg.model_config), dtype=dtype)
+        self.variables = init_params(self.model, jax.random.PRNGKey(seed))
+        self.replay = ReplayBuffer(capacity=cfg.replay_capacity, seed=seed)
+        self.key = jax.random.PRNGKey(seed + 1)
+
+        if cfg.optimizer == "muon":
+            tx = conv_muon(cfg.lr, weight_decay=cfg.muon_wd,
+                           wd_lr_exponent=cfg.wd_lr_exponent,
+                           wd_lr_max=cfg.wd_lr_max,
+                           adam_weight_decay=cfg.adam_wd)
+        else:
+            tx = sgd_nesterov(cfg.lr)
+        self.tx = tx
+        self.train_state = create_train_state(self.variables, tx)
+        self._train_step = jax.jit(
+            make_train_step(self.model, tx, LossCoeffs.rl()))
+        self._prepare = jax.jit(partial(prepare_batch, augment=True))
+        self._score_fn = jax.jit(final_scores)
+
+        # Golden weights drive selfplay + are the eval incumbent.
+        self.golden = {"params": self.train_state.params,
+                       "batch_stats": self.train_state.batch_stats}
+        self.gen = 0
+        self.snapshots = SnapshotManager()
+
+        B = cfg.selfplay_batch_size
+        self.sp_cfg = SelfplayConfig(batch_size=B,
+                                     max_game_len=cfg.selfplay_max_game_len)
+        self.states = jax.vmap(lambda _: new_state(self.sp_cfg.komi))(
+            jnp.arange(B))
+        self.buf = make_game_buffer(B, self.sp_cfg.max_game_len)
+        self._sp_step = None
+
+    # ---------------- selfplay ----------------
+    def _bind_selfplay(self):
+        n, k = gumbel_params_for_gen(self.cfg, self.gen, selected=False)
+        params = SearchParams(n=n, k=k, noise_scale=1.0, max_depth=24)
+        eval_fn = make_eval_fn(self.model, self.golden)
+        cfg = self.sp_cfg
+
+        @jax.jit
+        def sp_step(states, buf, key):
+            return selfplay_step(states, buf, key, eval_fn, params, cfg,
+                                 trainable=True)
+
+        self._sp_step = sp_step
+
+    def selfplay_games(self, num_games: int, max_plies: int = 100000) -> int:
+        if self._sp_step is None:
+            self._bind_selfplay()
+        start_games = self.replay.games_added
+        plies = 0
+        while (self.replay.games_added - start_games) < num_games \
+                and plies < max_plies:
+            self.states, self.buf, self.key = self._sp_step(
+                self.states, self.buf, self.key)
+            plies += 1
+            done = finished_mask(self.states, self.sp_cfg)
+            if bool(jnp.any(done)):
+                self._harvest(np.asarray(done))
+        return self.replay.games_added - start_games
+
+    def _harvest(self, done: np.ndarray):
+        idx = np.flatnonzero(done)
+        bs, ws, own = self._score_fn(self.states)
+        buf_np = jax.tree_util.tree_map(np.asarray, self.buf)
+        counts = np.asarray(self.states.move_count)
+        komi = np.asarray(self.states.komi)
+        for b in idx:
+            ex = finalize_game(
+                stones=buf_np.stones[b], last_moves=buf_np.last_moves[b],
+                to_move=buf_np.to_move[b], pi=buf_np.pi[b],
+                move=buf_np.move[b],
+                root_q_outcome=buf_np.root_q_outcome[b],
+                root_score=buf_np.root_score[b], kld=buf_np.kld[b],
+                trainable=buf_np.trainable[b],
+                num_moves=min(int(counts[b]), self.sp_cfg.max_game_len),
+                black_score=float(bs[b]), white_score=float(ws[b]),
+                ownership=np.asarray(own[b]), komi=float(komi[b]))
+            if ex is not None:
+                self.replay.add_game(ex)
+        self.states, self.buf = reset_finished(
+            self.states, self.buf, jnp.asarray(done), self.sp_cfg.komi)
+
+    # ---------------- training ----------------
+    def train_epoch(self, num_steps: Optional[int] = None,
+                    window: Optional[int] = None):
+        steps = num_steps or max(len(self.replay) // self.cfg.train_batch_size,
+                                 1)
+        losses = {}
+        for _ in range(steps):
+            batch = self.replay.sample(self.cfg.train_batch_size, window)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.key, kp = jax.random.split(self.key)
+            planes, scalars, targets = self._prepare(kp, batch)
+            self.train_state, losses = self._train_step(
+                self.train_state, planes, scalars, targets)
+            self.snapshots.maybe_snapshot(int(self.train_state.step),
+                                          self.train_state.params)
+        return {k: float(v) for k, v in losses.items()}
+
+    # ---------------- eval + promotion ----------------
+    def evaluate_candidate(self, swa: bool = True):
+        cand_params = self.snapshots.final(self.train_state.params) if swa \
+            else self.train_state.params
+        cand = {"params": cand_params,
+                "batch_stats": self.train_state.batch_stats}
+        ev_cfg = EvalConfig(
+            num_games=self.cfg.eval_games,
+            max_game_len=self.cfg.eval_max_game_len,
+            search=SearchParams(n=self.cfg.eval_n, k=self.cfg.eval_k,
+                                noise_scale=0.0, tau=0.0))
+        self.key, ke = jax.random.split(self.key)
+        res = run_eval(ke, make_eval_fn(self.model, cand),
+                       make_eval_fn(self.model, self.golden), ev_cfg)
+        return res, cand
+
+    def run_generation(self, eval_gating: bool = True) -> dict:
+        t0 = time.time()
+        games = self.cfg.games_first_gen if self.gen == 0 \
+            else self.cfg.games_per_gen
+        self.selfplay_games(games)
+        sp_t = time.time() - t0
+
+        t0 = time.time()
+        losses = self.train_epoch()
+        train_t = time.time() - t0
+
+        promoted = True
+        elo = 0.0
+        if eval_gating:
+            res, cand = self.evaluate_candidate()
+            elo = res.elo
+            promoted = res.elo > 0
+            if promoted:
+                self.golden = cand
+        else:
+            self.golden = {"params": self.train_state.params,
+                           "batch_stats": self.train_state.batch_stats}
+
+        self.gen += 1
+        self._sp_step = None  # rebind to new golden + gen-scheduled n/k
+        save_checkpoint(self.root, self.gen, {
+            "params": self.golden["params"],
+            "batch_stats": self.golden["batch_stats"],
+            "step": self.train_state.step,
+        })
+        with open(os.path.join(self.root, "elo_history.txt"), "a") as f:
+            f.write(f"{self.gen} {elo:.2f} {int(promoted)}\n")
+        return dict(gen=self.gen, games=games, elo=elo, promoted=promoted,
+                    selfplay_s=sp_t, train_s=train_t, **losses)

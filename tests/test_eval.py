@@ -1,0 +1,72 @@
+"""Eval harness tests: Elo math + a biased-strength matchup."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p3achygo_tpu.constants import BLACK, NUM_MOVES
+from p3achygo_tpu.eval import EvalConfig, elo_with_ci, relative_elo, run_eval
+from p3achygo_tpu.mcts.gumbel import EvalOutput, SearchParams, uniform_eval_fn
+
+
+def test_relative_elo():
+    assert abs(relative_elo(0.5)) < 1e-9
+    assert abs(relative_elo(0.64) - 100.0) < 2.0  # ~100 elo at 64%
+    assert relative_elo(0.9) > relative_elo(0.6) > 0
+    assert relative_elo(0.1) < 0
+
+
+def test_elo_ci_brackets_point():
+    elo, lo, hi = elo_with_ci(60, 100)
+    assert lo < elo < hi
+    elo2, lo2, hi2 = elo_with_ci(600, 1000)
+    assert (hi2 - lo2) < (hi - lo)  # more games -> tighter CI
+
+
+def _center_loving_eval(states):
+    """Net that likes the center point and evaluates center-ownership."""
+    B = states.stones.shape[0]
+    center = 9 * 19 + 9
+    logits = jnp.zeros((B, NUM_MOVES)).at[:, center].set(3.0)
+    v_black = jnp.where(states.stones[:, center] == BLACK, 0.5, -0.1)
+    value = v_black * jnp.where(states.to_move == BLACK, 1.0, -1.0)
+    return EvalOutput(
+        log_priors=jax.nn.log_softmax(logits, axis=-1),
+        outcome_value=value,
+        score_est=jnp.zeros((B,)),
+        score_var=jnp.zeros((B,)),
+    )
+
+
+def test_run_eval_smoke():
+    cfg = EvalConfig(
+        num_games=4,
+        max_game_len=16,
+        search=SearchParams(n=4, k=2, noise_scale=0.0, tau=0.0, max_depth=8),
+    )
+    res = run_eval(jax.random.PRNGKey(0), _center_loving_eval, uniform_eval_fn,
+                   cfg)
+    assert res.num_games == 4
+    assert 0.0 <= res.winrate <= 1.0
+    assert np.isfinite(res.elo)
+
+
+def test_resignation_decides_games():
+    # Black is always hopeless (consistent across the tree) -> black
+    # resigns on its first move.
+    def despair(states):
+        B = states.stones.shape[0]
+        v = jnp.where(states.to_move == BLACK, -0.99, 0.99)
+        return EvalOutput(
+            log_priors=jnp.full((B, NUM_MOVES), -jnp.log(float(NUM_MOVES))),
+            outcome_value=v,
+            score_est=jnp.zeros((B,)),
+            score_var=jnp.zeros((B,)),
+        )
+
+    cfg = EvalConfig(
+        num_games=4, max_game_len=12,
+        search=SearchParams(n=4, k=2, noise_scale=0.0, max_depth=6))
+    res = run_eval(jax.random.PRNGKey(0), despair, despair, cfg)
+    assert res.by_resign == 4
+    # Black (the first mover) resigns everywhere: cand wins its white games.
+    assert res.cand_wins == 2.0
