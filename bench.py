@@ -38,7 +38,7 @@ def main():
         selfplay_step,
     )
 
-    B = 256
+    B = 1024
     cfg = SelfplayConfig(batch_size=B)
     params = SearchParams(n=32, k=4, noise_scale=1.0, max_depth=24)
 

@@ -269,10 +269,21 @@ def _simulate_play(stones: jnp.ndarray, chain_id: jnp.ndarray, base_hash: jnp.nd
     )
     chain1 = jnp.where(merge, new_rep, chain1)
 
-    libs1 = chain_lib_counts(stones1, chain1)
+    # Only the <=4 opponent neighbor chains (captures) and the merged own
+    # chain (suicide) can change liberty status; count just those via a
+    # dilate-and-popcount instead of the full per-chain histogram (the
+    # histogram's one-hot contraction is the hot path's bandwidth cost).
+    def _libs_of(chain_arr, empty_mask, rep):
+        m = chain_arr == rep
+        dil = jnp.any(_pad(m, jnp.bool_(False))[NEIGHBORS], axis=1)
+        return jnp.sum((empty_mask & dil).astype(jnp.int32))
+
+    empty1 = stones1 == EMPTY
     oppm = nbr_color == (-c)
     opp_rep = jnp.where(oppm, nbr_chain, -1)
-    cap = oppm & (opp_rep >= 0) & (libs1[jnp.clip(opp_rep, 0, _SENTINEL)] == 0)
+    cap = oppm & (opp_rep >= 0)
+    cap = cap & jnp.stack(
+        [_libs_of(chain1, empty1, opp_rep[d]) == 0 for d in range(4)])
     captured_mask = (
         ((chain1 == opp_rep[0]) & cap[0])
         | ((chain1 == opp_rep[1]) & cap[1])
@@ -283,8 +294,7 @@ def _simulate_play(stones: jnp.ndarray, chain_id: jnp.ndarray, base_hash: jnp.nd
     stones2 = jnp.where(captured_mask, jnp.int8(EMPTY), stones1)
     chain2 = jnp.where(captured_mask, jnp.int32(-1), chain1)
 
-    libs2 = chain_lib_counts(stones2, chain2)
-    own_libs = libs2[new_rep]
+    own_libs = _libs_of(chain2, stones2 == EMPTY, new_rep)
     suicide = (own_libs == 0) & ~occupied
 
     # Incremental additive hash: +z[p,c] -z[p,empty]; captured q: +z[q,empty]

@@ -106,20 +106,43 @@ class GumbelResult(NamedTuple):
     root_child_visits: jnp.ndarray  # int32[B, 362]
 
 
-def make_eval_fn(model, variables) -> EvalFn:
-    """NN eval adapter: featurize states, run the model, reduce outputs."""
+def make_eval_fn(model, variables, symmetrize: bool = True,
+                 include_ladders: bool = False) -> EvalFn:
+    """NN eval adapter: featurize states, run the model, reduce outputs.
+
+    With `symmetrize`, each query is evaluated under a D4 symmetry picked
+    deterministically from the position hash and the policy is mapped back
+    (the reference applies a random symmetry per NN query and un-applies it
+    on the outputs, nn_interface.cc:123-127 / nn_interface.h:262-289;
+    hash-derived choice keeps eval purely functional in-graph).
+    """
+    from p3achygo_tpu.game.symmetry import (
+        apply_inverse_policy,
+        apply_symmetry_grid,
+    )
 
     score_values = (jnp.arange(NUM_SCORE_LOGITS, dtype=jnp.float32)
                     - SCORE_INFLECTION_POINT + 0.5)
 
     def eval_fn(states: GoState) -> EvalOutput:
-        planes, scalars = jax.vmap(lambda s: features(s))(states)
+        planes, scalars = jax.vmap(lambda s: features(s, include_ladders))(
+            states)
+        if symmetrize:
+            sym = (states.hash[:, 0] % 8).astype(jnp.int32)  # [B]
+            n, H, W_, C = planes.shape
+            flat = planes.reshape(n, H * W_, C)
+            flat = jax.vmap(
+                lambda g, s: apply_symmetry_grid(g.T, s).T)(flat, sym)
+            planes = flat.reshape(n, H, W_, C)
         out = model.apply(variables, planes, scalars, train=False)
+        pi_logits = out.pi_logits
+        if symmetrize:
+            pi_logits = jax.vmap(apply_inverse_policy)(pi_logits, sym)
         value = out.outcome_probs[:, 1] - out.outcome_probs[:, 0]
         score_est = jnp.sum(out.score_probs * score_values[None, :], axis=-1)
         score_sq = jnp.sum(out.score_probs * score_values[None, :] ** 2, axis=-1)
         return EvalOutput(
-            log_priors=jax.nn.log_softmax(out.pi_logits, axis=-1),
+            log_priors=jax.nn.log_softmax(pi_logits, axis=-1),
             outcome_value=value,
             score_est=score_est,
             score_var=jnp.maximum(score_sq - score_est**2, 0.0),

@@ -1,0 +1,363 @@
+"""Batched PUCT search (mirrors GumbelEvaluator::SearchRootPuct,
+gumbel.cc:563-666, and PuctScorer, search_policy.h:133-330).
+
+PUCT action selection at every node of the descent (the reference passes
+PuctSearchPolicy for the whole path), with:
+- c_puct log visit scaling: c + 0.45 * log((n + 500) / 500)
+  (search_policy.h:151-157)
+- FPU reduction by explored prior mass: v_fpu = v - fpu * sqrt(p_explored)
+  (search_policy.h:214-224, kDefaultFPU = 0.2)
+- optional KataGo-style per-child variance scaling of c_puct
+  (search_policy.h:256-269)
+- root move selection by visit count / best LCB / tempered sample
+  (gumbel.cc:628-645); LCB = Q - z * sqrt(QVar / n) (tree.cc:40-67; normal
+  z in place of the reference's cached t quantiles).
+
+The in-tree parallel search machinery of the reference (virtual loss,
+collision policies, round barriers — cc/mcts/search.cc) has no TPU
+equivalent by design: batching is the board axis, so sims on one board are
+sequential and exact, and the whole batch IS the parallelism.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from p3achygo_tpu.constants import NUM_MOVES, PASS_MOVE
+from p3achygo_tpu.game.board import GoState, is_game_over, legal_mask, step
+from p3achygo_tpu.mcts.gumbel import (
+    _BIG_NEG,
+    EvalFn,
+    GumbelResult,
+    SearchParams,
+    _cheap_scores,
+    _init_nodes,
+    _score_utility,
+)
+from p3achygo_tpu.mcts.tree import (
+    MIN_Q,
+    NUM_V_BUCKETS,
+    V_BUCKET_RANGE,
+    Tree,
+    child_visits,
+    make_tree,
+    q_of_children,
+)
+from p3achygo_tpu.constants import BLACK
+
+
+@dataclasses.dataclass(frozen=True)
+class PuctParams:
+    """Mirrors mcts::PuctParams (search_policy.h:24-50)."""
+
+    n: int = 64
+    c_puct: float = 1.0
+    c_puct_visit_scaling: float = 0.45
+    fpu: float = 0.2  # kDefaultFPU
+    root_fpu: float = 0.2
+    enable_var_scaling: bool = False
+    var_scale_prior_visits: int = 4
+    root_selection: str = "visit_count"  # visit_count | lcb | sample
+    tau: float = 0.0
+    lcb_z: float = 1.96
+    max_depth: int = 32
+    score_weight: float = 0.5
+    terminal_mode: str = "cheap"
+
+
+def _puct_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
+                 p: PuctParams, is_root: jnp.ndarray,
+                 bidx: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized PuctScorer::ComputeScores + TopMove."""
+    b = bidx
+    probs = jnp.exp(tree.log_priors[b, node])  # [W, 362]
+    q = q_of_children(tree, node, b)
+    nvis = child_visits(tree, node, b)
+    visited = nvis > 0
+    n = tree.n[b, node].astype(jnp.float32)
+    v = jnp.where(tree.n[b, node] > 0,
+                  tree.w[b, node] / jnp.maximum(tree.n[b, node], 1),
+                  tree.init_util[b, node])
+
+    p_explored = jnp.sum(jnp.where(visited, probs, 0.0), axis=-1)
+    fpu = jnp.where(is_root, p.root_fpu, p.fpu)
+    v_fpu = v - fpu * jnp.sqrt(p_explored)
+
+    c_puct = p.c_puct + p.c_puct_visit_scaling * jnp.log((n + 500.0) / 500.0)
+    canonical_n = 1.0 + jnp.sum(nvis, axis=-1).astype(jnp.float32)
+
+    if p.enable_var_scaling:
+        # per-child variance scale (search_policy.h:256-269)
+        kids = tree.children[b, node]
+        safe = jnp.clip(kids, 0, tree.n.shape[1] - 1)
+        kid_n = tree.n[b[:, None], safe].astype(jnp.float32)
+        kid_var = jnp.where(
+            kid_n > 0, tree.v_var_sum[b[:, None], safe] / jnp.maximum(kid_n, 1),
+            0.0)
+        kid_std = jnp.sqrt(jnp.maximum(kid_var, 0.0))
+        std_mean = jnp.sum(jnp.where(nvis >= 3, kid_std * nvis, 0.0), axis=-1) \
+            / jnp.maximum(n, 1.0)
+        pw = float(p.var_scale_prior_visits)
+        scale = jnp.where(
+            (nvis >= 3) & (std_mean[:, None] > 0),
+            (pw + nvis * (kid_std / jnp.maximum(std_mean[:, None], 1e-10)))
+            / (pw + nvis),
+            1.0)
+    else:
+        scale = 1.0
+
+    explore = (c_puct[:, None] * scale * probs
+               * (jnp.sqrt(canonical_n)[:, None] / (1.0 + nvis)))
+    canonical_q = jnp.where(visited, q, v_fpu[:, None])
+    scores = explore + canonical_q
+    return jnp.argmax(jnp.where(legal, scores, _BIG_NEG), axis=-1).astype(jnp.int32)
+
+
+def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
+                     p: PuctParams) -> GumbelResult:
+    """PUCT root search on a batch of boards -> GumbelResult."""
+    from p3achygo_tpu.game.scoring import score as score_board
+
+    B = states.stones.shape[0]
+    b = jnp.arange(B)
+    max_nodes = p.n + 2
+    tree = make_tree(B, max_nodes)
+    spare = max_nodes - 1
+
+    root_ev = eval_fn(states)
+    root_color = states.to_move
+    tree = _init_nodes(tree, jnp.zeros((B,), jnp.int32), root_ev, root_color,
+                       root_ev.outcome_value, jnp.ones((B,), jnp.bool_))
+    tree = tree._replace(
+        n=tree.n.at[:, 0].set(1),
+        w=tree.w.at[:, 0].set(root_ev.outcome_value),
+        w_outcome=tree.w_outcome.at[:, 0].set(root_ev.outcome_value),
+    )
+    root_score_est = root_ev.score_est
+    legal0 = jax.vmap(legal_mask)(states)
+    board_over = jax.vmap(is_game_over)(states)
+    raw_nn_move = jnp.argmax(root_ev.log_priors, axis=-1).astype(jnp.int32)
+
+    def simulate(carry, _):
+        tree, key = carry
+        valid0 = ~board_over
+        D = p.max_depth
+        path_nodes0 = jnp.full((B, D), -1, jnp.int32)
+
+        def body(carry):
+            (tree, scratch, cur, depth, done, path_nodes, leaf_new,
+             leaf_terminal) = carry
+            active = ~done
+            node = cur
+            legal = jax.vmap(legal_mask)(scratch)
+            a = _puct_action(tree, node, legal, p, depth == 0, b)
+
+            new_scratch, _ = jax.vmap(step)(scratch, a)
+            scratch = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(active, (B,) + (1,) * (new.ndim - 1)), new, old),
+                new_scratch, scratch)
+
+            child = tree.children[b, node, a]
+            need_alloc = (child < 0) & active
+            child_idx = jnp.where(need_alloc, tree.next_free, child).astype(jnp.int32)
+            node_w = jnp.where(active, node, spare)
+            a_w = jnp.where(active, a, 0)
+            tree = tree._replace(
+                children=tree.children.at[b, node_w, a_w].set(
+                    jnp.where(active, child_idx, tree.children[b, node_w, a_w])),
+                next_free=tree.next_free + need_alloc.astype(jnp.int32),
+            )
+            terminal_board = jax.vmap(is_game_over)(scratch) & active
+            known_terminal = tree.is_terminal[
+                b, jnp.clip(child_idx, 0, max_nodes - 1)]
+            stop = (need_alloc | terminal_board | known_terminal) & active
+            path_nodes = path_nodes.at[b, depth].set(
+                jnp.where(active, child_idx, path_nodes[b, depth]))
+            leaf_new = jnp.where(stop & need_alloc & ~terminal_board, True,
+                                 leaf_new)
+            leaf_terminal = jnp.where(stop & terminal_board, True, leaf_terminal)
+            cur = jnp.where(active, child_idx, cur)
+            depth = depth + active.astype(jnp.int32)
+            done = done | stop | (depth >= D)
+            return (tree, scratch, cur, depth, done, path_nodes, leaf_new,
+                    leaf_terminal)
+
+        init = (tree, states, jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B,), jnp.int32), ~valid0, path_nodes0,
+                jnp.zeros((B,), jnp.bool_), jnp.zeros((B,), jnp.bool_))
+        (tree, leaf_states, leaf_node, depth, _, path_nodes, leaf_new,
+         leaf_terminal) = jax.lax.while_loop(
+            lambda c: ~jnp.all(c[4]), body, init)
+
+        leaf_color = leaf_states.to_move
+        root_sign = jnp.where(leaf_color == root_color, 1.0, -1.0)
+        ev = eval_fn(leaf_states)
+        util = ev.outcome_value + _score_utility(
+            p.score_weight, ev.score_est, root_sign * root_score_est)
+        tree = _init_nodes(tree, leaf_node, ev, leaf_color, util,
+                           leaf_new & valid0)
+
+        def with_terminal(tree):
+            if p.terminal_mode == "exact":
+                bs, ws, _ = jax.vmap(score_board)(leaf_states)
+            else:
+                bs, ws = _cheap_scores(leaf_states)
+            player = jnp.where(leaf_color == BLACK, bs, ws)
+            oppv = jnp.where(leaf_color == BLACK, ws, bs)
+            final_score = player - oppv
+            emp_out = jnp.where(player > oppv, 1.0, -1.0)
+            emp_q = emp_out + _score_utility(p.score_weight, final_score,
+                                             root_sign * root_score_est)
+            t_active = leaf_terminal & valid0 & ~tree.is_terminal[b, leaf_node]
+            ln = jnp.where(t_active, leaf_node, spare)
+            sel = lambda new, old: jnp.where(t_active, new, old)
+            return tree._replace(
+                init_util=tree.init_util.at[b, ln].set(
+                    sel(emp_q, tree.init_util[b, ln])),
+                init_outcome=tree.init_outcome.at[b, ln].set(
+                    sel(emp_out, tree.init_outcome[b, ln])),
+                init_score=tree.init_score.at[b, ln].set(
+                    sel(final_score, tree.init_score[b, ln])),
+                color=tree.color.at[b, ln].set(
+                    jnp.where(t_active, leaf_color,
+                              tree.color[b, ln]).astype(jnp.int8)),
+                is_terminal=tree.is_terminal.at[b, ln].set(
+                    tree.is_terminal[b, ln] | t_active),
+                evaluated=tree.evaluated.at[b, ln].set(
+                    tree.evaluated[b, ln] | t_active),
+            )
+
+        if p.terminal_mode == "exact":
+            tree = jax.lax.cond(jnp.any(leaf_terminal & valid0), with_terminal,
+                                lambda t: t, tree)
+        else:
+            tree = with_terminal(tree)
+
+        # backprop incl. the root (SearchRootPuct paths start at the root,
+        # first_is_root=true, gumbel.cc:604-609) via one-hot contraction.
+        leaf_q = tree.init_util[b, leaf_node]
+        leaf_qz = tree.init_outcome[b, leaf_node]
+        leaf_score = tree.init_score[b, leaf_node]
+        leaf_c = tree.color[b, leaf_node]
+        root_inc = valid0  # root itself gets a visit per sim
+
+        nodes = path_nodes  # [B, D]
+        on_path = (nodes >= 0) & valid0[:, None]
+        node_s = jnp.clip(nodes, 0, max_nodes - 1)
+        sign = jnp.where(tree.color[b[:, None], node_s] == leaf_c[:, None],
+                         1.0, -1.0)
+        is_leaf_slot = nodes == leaf_node[:, None]
+        q = sign * leaf_q[:, None]
+        qz = sign * leaf_qz[:, None]
+        sc = sign * leaf_score[:, None]
+        add_w = jnp.where(is_leaf_slot, tree.init_util[b[:, None], node_s], q)
+        add_wz = jnp.where(is_leaf_slot, tree.init_outcome[b[:, None], node_s],
+                           qz)
+        add_sc = jnp.where(is_leaf_slot, tree.init_score[b[:, None], node_s],
+                           sc)
+        n_old = tree.n[b[:, None], node_s].astype(jnp.float32)
+        v_old = jnp.where(n_old > 0,
+                          tree.w[b[:, None], node_s] / jnp.maximum(n_old, 1),
+                          tree.init_util[b[:, None], node_s])
+        w_new = tree.w[b[:, None], node_s] + jnp.where(on_path, add_w, 0.0)
+        v_new = w_new / jnp.maximum(n_old + on_path, 1)
+        dvar = (q - v_old) * (q - v_new)
+        bucket = jnp.clip(((qz + 1.0) / V_BUCKET_RANGE).astype(jnp.int32), 0,
+                          NUM_V_BUCKETS - 1)
+        nonleaf = on_path & ~is_leaf_slot
+        D_ = nodes.shape[1]
+        oh = jax.nn.one_hot(node_s, max_nodes, dtype=jnp.float32)
+        onp = on_path.astype(jnp.float32)
+        nlf = nonleaf.astype(jnp.float32)
+        acc = lambda vals, m: jnp.einsum("bi,bin->bn", vals * m, oh,
+                                         preferred_element_type=jnp.float32)
+        oh_bucket = jax.nn.one_hot(bucket, NUM_V_BUCKETS, dtype=jnp.float32)
+        cat_add = jnp.einsum("bin,bik->bnk", oh * nlf[:, :, None], oh_bucket,
+                             preferred_element_type=jnp.float32)
+        # root backup (leaf value signed into root's perspective)
+        root_sign_v = jnp.where(tree.color[:, 0] == leaf_c, 1.0, -1.0)
+        tree = tree._replace(
+            n=(tree.n + acc(onp, onp).astype(jnp.int32)).at[:, 0].add(
+                root_inc.astype(jnp.int32)),
+            w=(tree.w + acc(add_w, onp)).at[:, 0].add(
+                jnp.where(root_inc, root_sign_v * leaf_q, 0.0)),
+            w_outcome=(tree.w_outcome + acc(add_wz, onp)).at[:, 0].add(
+                jnp.where(root_inc, root_sign_v * leaf_qz, 0.0)),
+            score_sum=tree.score_sum + acc(add_sc, onp),
+            v_var_sum=tree.v_var_sum + acc(dvar, nlf),
+            v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
+        )
+        return (tree, key), valid0.astype(jnp.int32)
+
+    (tree, key), valid_counts = jax.lax.scan(
+        simulate, (tree, key), None, length=p.n)
+    visits_spent = jnp.sum(valid_counts, axis=0)
+
+    # Improved policy = visit-count distribution (gumbel.cc:617-627).
+    nvis0 = child_visits(tree, jnp.zeros((B,), jnp.int32))
+    total = jnp.maximum(jnp.sum(nvis0, axis=-1), 1).astype(jnp.float32)
+    pi_improved = nvis0.astype(jnp.float32) / total[:, None]
+
+    q0 = q_of_children(tree, jnp.zeros((B,), jnp.int32))
+
+    if p.root_selection == "lcb":
+        kids = tree.children[b[:, None],
+                             jnp.zeros((B, 1), jnp.int32), :][:, 0, :]
+        safe = jnp.clip(kids, 0, max_nodes - 1)
+        kid_n = tree.n[b[:, None], safe].astype(jnp.float32)
+        kid_var = jnp.where(
+            kid_n > 0, tree.v_var_sum[b[:, None], safe] / jnp.maximum(kid_n, 1),
+            0.0)
+        lcb = jnp.where(
+            (kids >= 0) & (kid_n >= 2),
+            q0 - p.lcb_z * jnp.sqrt(jnp.maximum(kid_var, 0.0) / jnp.maximum(kid_n, 1)),
+            -1e6 + kid_n)
+        mcts_move = jnp.argmax(jnp.where(legal0, lcb, _BIG_NEG),
+                               axis=-1).astype(jnp.int32)
+    elif p.root_selection == "sample" and p.tau > 0:
+        key, ks = jax.random.split(key)
+        logits = jnp.where(pi_improved > 0,
+                           jnp.log(jnp.maximum(pi_improved, 1e-30)) / p.tau,
+                           _BIG_NEG)
+        mcts_move = jax.random.categorical(ks, logits, axis=-1).astype(jnp.int32)
+    else:
+        mcts_move = jnp.argmax(
+            jnp.where(legal0, nvis0.astype(jnp.float32), _BIG_NEG),
+            axis=-1).astype(jnp.int32)
+
+    mcts_move = jnp.where(board_over, PASS_MOVE, mcts_move)
+
+    sel_n = jnp.take_along_axis(nvis0, mcts_move[:, None], axis=1)[:, 0]
+    sel_q = jnp.take_along_axis(q0, mcts_move[:, None], axis=1)[:, 0]
+    root_v = jnp.where(tree.n[:, 0] > 0,
+                       tree.w[:, 0] / jnp.maximum(tree.n[:, 0], 1),
+                       root_ev.outcome_value)
+    root_vz = jnp.where(tree.n[:, 0] > 0,
+                        tree.w_outcome[:, 0] / jnp.maximum(tree.n[:, 0], 1),
+                        root_ev.outcome_value)
+
+    eps = 1e-10
+    probs0 = jax.nn.softmax(jnp.where(legal0, root_ev.log_priors, _BIG_NEG),
+                            axis=-1)
+    kld = jnp.sum(
+        jnp.where(pi_improved > 0,
+                  pi_improved * (jnp.log(pi_improved + eps)
+                                 - jnp.log(probs0 + eps)), 0.0), axis=-1)
+
+    return GumbelResult(
+        mcts_move=mcts_move,
+        raw_nn_move=raw_nn_move,
+        pi_improved=pi_improved,
+        root_value=root_v,
+        root_outcome=root_vz,
+        root_score_est=root_score_est,
+        q_selected=sel_q,
+        qz_selected=jnp.where(sel_n > 0, sel_q, -1.0),
+        kld=kld,
+        visits=visits_spent,
+        root_child_visits=nvis0,
+    )

@@ -1,0 +1,78 @@
+"""PUCT search tests (synthetic value fn, mirrors gumbel_test strategy)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p3achygo_tpu.constants import BLACK, NUM_MOVES, PASS_MOVE
+from p3achygo_tpu.game import legal_mask, new_state, step
+from p3achygo_tpu.mcts import EvalOutput, uniform_eval_fn
+from p3achygo_tpu.mcts.puct import PuctParams, search_root_puct
+
+GOOD = 5 * 19 + 5
+BAD = 3 * 19 + 3
+
+
+def value_eval_fn(states):
+    B = states.stones.shape[0]
+    v_black = jnp.where(states.stones[:, GOOD] == BLACK, 0.9, -0.9)
+    value = v_black * jnp.where(states.to_move == BLACK, 1.0, -1.0)
+    # Concentrated priors (like a trained net): BAD is the prior favorite
+    # but GOOD has enough mass for the PUCT explore term to beat the
+    # FPU-reduced unvisited Q within a few sims.
+    logits = jnp.zeros((B, NUM_MOVES))
+    logits = logits.at[:, BAD].set(5.5).at[:, GOOD].set(5.0)
+    return EvalOutput(
+        log_priors=jax.nn.log_softmax(logits, axis=-1),
+        outcome_value=value,
+        score_est=jnp.zeros((B,)),
+        score_var=jnp.zeros((B,)),
+    )
+
+
+def batch_states(B):
+    return jax.vmap(lambda _: new_state())(jnp.arange(B))
+
+
+def test_puct_finds_value_move():
+    states = batch_states(2)
+    p = PuctParams(n=48, max_depth=12)
+    res = search_root_puct(jax.random.PRNGKey(0), states, value_eval_fn, p)
+    assert np.asarray(res.mcts_move).tolist() == [GOOD, GOOD]
+    pi = np.asarray(res.pi_improved)
+    assert pi[0, GOOD] > 0.5  # visit mass concentrates on the good move
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+
+
+def test_puct_visit_budget_and_root_stats():
+    states = batch_states(1)
+    p = PuctParams(n=16, max_depth=8)
+    res = search_root_puct(jax.random.PRNGKey(0), states, uniform_eval_fn, p)
+    assert int(res.visits[0]) == 16
+    assert int(res.root_child_visits.sum()) == 16
+    assert np.isfinite(float(res.root_value[0]))
+
+
+def test_puct_lcb_selection():
+    states = batch_states(2)
+    p = PuctParams(n=32, max_depth=8, root_selection="lcb")
+    res = search_root_puct(jax.random.PRNGKey(0), states, value_eval_fn, p)
+    assert np.asarray(res.mcts_move).tolist() == [GOOD, GOOD]
+
+
+def test_puct_moves_legal_through_game():
+    states = batch_states(2)
+    p = PuctParams(n=8, max_depth=8)
+    for _ in range(4):
+        res = search_root_puct(jax.random.PRNGKey(1), states, uniform_eval_fn, p)
+        masks = np.asarray(jax.vmap(legal_mask)(states))
+        mv = np.asarray(res.mcts_move)
+        assert all(masks[i, mv[i]] for i in range(2))
+        states, statuses = jax.vmap(step)(states, res.mcts_move)
+        assert (np.asarray(statuses) == 0).all()
+
+
+def test_var_scaling_path_compiles():
+    states = batch_states(1)
+    p = PuctParams(n=8, max_depth=6, enable_var_scaling=True)
+    res = search_root_puct(jax.random.PRNGKey(0), states, uniform_eval_fn, p)
+    assert int(res.visits[0]) == 8
