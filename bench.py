@@ -34,6 +34,7 @@ def main():
     from p3achygo_tpu.models import build_model, get_config, init_params
     from p3achygo_tpu.selfplay.loop import (
         SelfplayConfig,
+        make_aux,
         make_game_buffer,
         selfplay_step,
     )
@@ -47,22 +48,26 @@ def main():
     eval_fn = make_eval_fn(model, variables)
 
     @jax.jit
-    def sp_step(states, buf, key):
-        return selfplay_step(states, buf, key, eval_fn, params, cfg,
-                             trainable=True)
+    def sp_step(states, buf, aux, key):
+        return selfplay_step(states, buf, aux, key, eval_fn, params, cfg,
+                             selected_tier=True)
 
     states = jax.vmap(lambda _: new_state(cfg.komi))(jnp.arange(B))
     buf = make_game_buffer(B, cfg.max_game_len)
     key = jax.random.PRNGKey(1)
+    key, kaux = jax.random.split(key)
+    aux = make_aux(kaux, B)
+    # Disable the raw-policy opening for a pure full-search benchmark.
+    aux = aux._replace(raw_until=aux.raw_until * 0)
 
     # Warmup/compile.
-    states, buf, key = sp_step(states, buf, key)
+    states, buf, aux, key = sp_step(states, buf, aux, key)
     jax.block_until_ready(states.stones)
 
     steps = 8
     t0 = time.time()
     for _ in range(steps):
-        states, buf, key = sp_step(states, buf, key)
+        states, buf, aux, key = sp_step(states, buf, aux, key)
     jax.block_until_ready(states.stones)
     dt = time.time() - t0
 

@@ -104,6 +104,7 @@ class GumbelResult(NamedTuple):
     kld: jnp.ndarray  # f32[B] KLD(improved || prior)
     visits: jnp.ndarray  # int32[B] sims spent
     root_child_visits: jnp.ndarray  # int32[B, 362]
+    root_priors: jnp.ndarray  # f32[B, 362] legality-masked NN policy
 
 
 def make_eval_fn(model, variables, symmetrize: bool = True,
@@ -343,6 +344,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             kld=jnp.zeros((B,)),
             visits=jnp.zeros((B,), jnp.int32),
             root_child_visits=jnp.zeros((B, NUM_MOVES), jnp.int32),
+            root_priors=pi,
         )
 
     _, cand_actions = jax.lax.top_k(base_score, k)  # [B, k] desc
@@ -660,4 +662,5 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         kld=kld,
         visits=visits_spent,
         root_child_visits=nvis0,
+        root_priors=probs0,
     )

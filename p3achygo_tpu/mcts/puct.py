@@ -360,4 +360,5 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
         kld=kld,
         visits=visits_spent,
         root_child_visits=nvis0,
+        root_priors=probs0,
     )

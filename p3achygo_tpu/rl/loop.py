@@ -33,11 +33,13 @@ from p3achygo_tpu.selfplay.loop import (
     SelfplayConfig,
     final_scores,
     finished_mask,
+    make_aux,
     make_game_buffer,
     reset_finished,
     selfplay_step,
 )
-from p3achygo_tpu.selfplay.records import finalize_game
+from p3achygo_tpu.selfplay.records import finalize_game, game_to_sgf
+from p3achygo_tpu.selfplay.reuse import GoExploitBuffer, InitState
 from p3achygo_tpu.train.checkpoint import save_checkpoint
 from p3achygo_tpu.train.optimizer import conv_muon, sgd_nesterov
 from p3achygo_tpu.train.step import create_train_state, make_train_step
@@ -81,31 +83,46 @@ class GenerationLoop:
         self.states = jax.vmap(lambda _: new_state(self.sp_cfg.komi))(
             jnp.arange(B))
         self.buf = make_game_buffer(B, self.sp_cfg.max_game_len)
-        self._sp_step = None
+        self.key, kaux = jax.random.split(self.key)
+        self.aux = make_aux(kaux, B, self.sp_cfg.max_raw_policy_moves)
+        self.reuse = GoExploitBuffer(seed=seed)
+        self.sgf_dir: Optional[str] = None
+        self._sp_steps = None
+        self._np_rng = np.random.default_rng(seed + 2)
 
     # ---------------- selfplay ----------------
     def _bind_selfplay(self):
-        n, k = gumbel_params_for_gen(self.cfg, self.gen, selected=False)
-        params = SearchParams(n=n, k=k, noise_scale=1.0, max_depth=24)
+        """Two jitted tiers: selected (full, trainable) vs fast
+        (playout-cap randomization, self_play_thread.cc:527-611; the 25%
+        choice is a batch-global per-step flip here)."""
         eval_fn = make_eval_fn(self.model, self.golden)
         cfg = self.sp_cfg
+        steps = {}
+        for selected in (True, False):
+            n, k = gumbel_params_for_gen(self.cfg, self.gen, selected=selected)
+            params = SearchParams(n=n, k=k, noise_scale=1.0, max_depth=24)
 
-        @jax.jit
-        def sp_step(states, buf, key):
-            return selfplay_step(states, buf, key, eval_fn, params, cfg,
-                                 trainable=True)
+            def make(params=params, selected=selected):
+                @jax.jit
+                def sp_step(states, buf, aux, key):
+                    return selfplay_step(states, buf, aux, key, eval_fn,
+                                         params, cfg, selected_tier=selected)
+                return sp_step
 
-        self._sp_step = sp_step
+            steps[selected] = make()
+        self._sp_steps = steps
 
     def selfplay_games(self, num_games: int, max_plies: int = 100000) -> int:
-        if self._sp_step is None:
+        if self._sp_steps is None:
             self._bind_selfplay()
         start_games = self.replay.games_added
         plies = 0
         while (self.replay.games_added - start_games) < num_games \
                 and plies < max_plies:
-            self.states, self.buf, self.key = self._sp_step(
-                self.states, self.buf, self.key)
+            selected = bool(self._np_rng.uniform() < 0.25)  # train-move prob
+            self.states, self.buf, self.aux, self.key = \
+                self._sp_steps[selected](self.states, self.buf, self.aux,
+                                         self.key)
             plies += 1
             done = finished_mask(self.states, self.sp_cfg)
             if bool(jnp.any(done)):
@@ -119,6 +136,7 @@ class GenerationLoop:
         counts = np.asarray(self.states.move_count)
         komi = np.asarray(self.states.komi)
         for b in idx:
+            L = min(int(counts[b]), self.sp_cfg.max_game_len)
             ex = finalize_game(
                 stones=buf_np.stones[b], last_moves=buf_np.last_moves[b],
                 to_move=buf_np.to_move[b], pi=buf_np.pi[b],
@@ -126,13 +144,64 @@ class GenerationLoop:
                 root_q_outcome=buf_np.root_q_outcome[b],
                 root_score=buf_np.root_score[b], kld=buf_np.kld[b],
                 trainable=buf_np.trainable[b],
-                num_moves=min(int(counts[b]), self.sp_cfg.max_game_len),
+                num_moves=L,
                 black_score=float(bs[b]), white_score=float(ws[b]),
                 ownership=np.asarray(own[b]), komi=float(komi[b]))
             if ex is not None:
                 self.replay.add_game(ex)
-        self.states, self.buf = reset_finished(
-            self.states, self.buf, jnp.asarray(done), self.sp_cfg.komi)
+            self.reuse.maybe_add_from_game(
+                buf_np.stones[b], buf_np.last_moves[b], buf_np.to_move[b], L)
+            if self.sgf_dir:
+                os.makedirs(self.sgf_dir, exist_ok=True)
+                sgf = game_to_sgf(buf_np.to_move[b], buf_np.move[b], L,
+                                  float(bs[b]), float(ws[b]), float(komi[b]))
+                with open(os.path.join(
+                        self.sgf_dir,
+                        f"g{self.replay.games_added:06d}_b{b}.sgf"),
+                        "w") as f:
+                    f.write(sgf)
+
+        # GoExploit restarts (use_seen_state_prob, self_play_thread.cc:203).
+        init_states, use_init = None, None
+        p_reuse = self.cfg.use_seen_state_prob
+        if p_reuse > 0 and len(self.reuse) > 0:
+            init_states, use_init = self._build_reuse_batch(idx, p_reuse)
+        self.key, kreset = jax.random.split(self.key)
+        self.states, self.buf, self.aux = reset_finished(
+            self.states, self.buf, self.aux, jnp.asarray(done),
+            self.sp_cfg.komi, kreset, init_states, use_init,
+            max_raw_policy_moves=self.sp_cfg.max_raw_policy_moves)
+
+    def _build_reuse_batch(self, done_idx, p_reuse):
+        """Assemble a per-board batch of reuse starting positions."""
+        from p3achygo_tpu.game.board import from_stones
+
+        B = self.cfg.selfplay_batch_size
+        stones = np.zeros((B, 361), np.int8)
+        last_moves = np.full((B, 5), -1, np.int32)
+        to_move = np.ones((B,), np.int8)
+        move_num = np.zeros((B,), np.int32)
+        use = np.zeros((B,), bool)
+        for b in done_idx:
+            if self._np_rng.uniform() < p_reuse:
+                st = self.reuse.pop_random()
+                if st is None:
+                    break
+                stones[b] = st.stones
+                last_moves[b] = st.last_moves
+                to_move[b] = st.to_move
+                move_num[b] = st.move_num
+                use[b] = True
+        if not use.any():
+            return None, None
+        init = jax.vmap(lambda s, lm, c, m: from_stones(
+            jnp.asarray(s), self.sp_cfg.komi, 1)._replace(
+                last_moves=lm.astype(jnp.int32),
+                to_move=c.astype(jnp.int8),
+                move_count=m))(
+            jnp.asarray(stones), jnp.asarray(last_moves),
+            jnp.asarray(to_move), jnp.asarray(move_num))
+        return init, jnp.asarray(use)
 
     # ---------------- training ----------------
     def train_epoch(self, num_steps: Optional[int] = None,
@@ -191,7 +260,7 @@ class GenerationLoop:
                            "batch_stats": self.train_state.batch_stats}
 
         self.gen += 1
-        self._sp_step = None  # rebind to new golden + gen-scheduled n/k
+        self._sp_steps = None  # rebind to new golden + gen-scheduled n/k
         save_checkpoint(self.root, self.gen, {
             "params": self.golden["params"],
             "batch_stats": self.golden["batch_stats"],

@@ -24,6 +24,7 @@ from p3achygo_tpu.selfplay.loop import (
     SelfplayConfig,
     final_scores,
     finished_mask,
+    make_aux,
     make_game_buffer,
     reset_finished,
     selfplay_step,
@@ -68,6 +69,8 @@ class RLSlice:
         self.states = jax.vmap(lambda _: new_state(cfg.selfplay.komi))(
             jnp.arange(B))
         self.buf = make_game_buffer(B, cfg.selfplay.max_game_len)
+        self.key, kaux = jax.random.split(self.key)
+        self.aux = make_aux(kaux, B, cfg.selfplay.max_raw_policy_moves)
         self._sp_step = None
         self._score_fn = jax.jit(final_scores)
 
@@ -80,9 +83,9 @@ class RLSlice:
         cfg = self.cfg
 
         @jax.jit
-        def sp_step(states, buf, key):
-            return selfplay_step(states, buf, key, eval_fn, cfg.search,
-                                 cfg.selfplay, trainable=True)
+        def sp_step(states, buf, aux, key):
+            return selfplay_step(states, buf, aux, key, eval_fn, cfg.search,
+                                 cfg.selfplay, selected_tier=True)
 
         return sp_step
 
@@ -98,8 +101,8 @@ class RLSlice:
             self.refresh_weights()
         harvested = 0
         for _ in range(num_moves):
-            self.states, self.buf, self.key = self._sp_step(
-                self.states, self.buf, self.key)
+            self.states, self.buf, self.aux, self.key = self._sp_step(
+                self.states, self.buf, self.aux, self.key)
             done = finished_mask(self.states, self.cfg.selfplay)
             if bool(jnp.any(done)):
                 harvested += self._harvest(np.asarray(done))
@@ -130,8 +133,11 @@ class RLSlice:
             )
             if ex is not None:
                 self.replay.add_game(ex)
-        self.states, self.buf = reset_finished(
-            self.states, self.buf, jnp.asarray(done), self.cfg.selfplay.komi)
+        self.key, kreset = jax.random.split(self.key)
+        self.states, self.buf, self.aux = reset_finished(
+            self.states, self.buf, self.aux, jnp.asarray(done),
+            self.cfg.selfplay.komi, kreset,
+            max_raw_policy_moves=self.cfg.selfplay.max_raw_policy_moves)
         return len(idx)
 
     def train_steps(self, num_steps: int, window: Optional[int] = None):

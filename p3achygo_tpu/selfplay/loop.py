@@ -60,6 +60,8 @@ class SelfplayConfig:
     tau_half_life: int = 19
     noise_scale: float = 1.0
     disable_pass_initial_moves: int = 0
+    # raw-policy opening cap (kMaxNumRawPolicyMoves, self_play_thread.cc:44)
+    max_raw_policy_moves: int = 30
 
 
 class GameBuffer(NamedTuple):
@@ -92,19 +94,47 @@ def make_game_buffer(B: int, T: int) -> GameBuffer:
     )
 
 
+class SelfplayAux(NamedTuple):
+    """Per-board selfplay loop state beyond the Go position."""
+
+    raw_until: jnp.ndarray  # int32[B]: sample raw policy while move < this
+    down_bad_count: jnp.ndarray  # int32[B]: consecutive |qz| > 0.9 moves
+
+
+def make_aux(key: jax.Array, B: int,
+             max_raw_moves: int = 30) -> SelfplayAux:
+    """Fresh-game aux: raw-policy opening length ~ U(0, 30)
+    (kMaxNumRawPolicyMoves, self_play_thread.cc:362-368)."""
+    return SelfplayAux(
+        raw_until=jax.random.randint(key, (B,), 0, max_raw_moves + 1),
+        down_bad_count=jnp.zeros((B,), jnp.int32),
+    )
+
+
 def tau_schedule(move_count: jnp.ndarray, cfg: SelfplayConfig) -> jnp.ndarray:
     decay = 0.5 ** (move_count.astype(jnp.float32) / cfg.tau_half_life)
     return jnp.maximum(cfg.tau_initial * decay, cfg.tau_min)
 
 
-def selfplay_step(states: GoState, buf: GameBuffer, key: jax.Array,
-                  eval_fn: EvalFn, params: SearchParams,
-                  cfg: SelfplayConfig, trainable: bool
-                  ) -> Tuple[GoState, GameBuffer, jax.Array]:
-    """One lockstep move for the whole batch. `params`/`trainable` static."""
+DOWN_BAD_THRESHOLD = 0.90  # kDownBadThreshold (self_play_thread.cc:68)
+DOWN_BAD_MOVES = 5  # kNumDownBadMovesThreshold
+
+
+def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
+                  key: jax.Array, eval_fn: EvalFn, params: SearchParams,
+                  cfg: SelfplayConfig, selected_tier: bool
+                  ) -> Tuple[GoState, GameBuffer, SelfplayAux, jax.Array]:
+    """One lockstep move for the whole batch.
+
+    `selected_tier` (static) marks this step as a full-search step; only
+    selected-tier, non-raw-policy, non-down-bad-suppressed moves become
+    trainable records (kMoveSelectedForTrainingProb semantics applied as a
+    batch-global tier flip by the caller + per-board annealing here,
+    self_play_thread.cc:509-537).
+    """
     B = states.stones.shape[0]
     b = jnp.arange(B)
-    key, ksearch = jax.random.split(key)
+    key, ksearch, kraw, ksel = jax.random.split(key, 4)
 
     tau = tau_schedule(states.move_count, cfg)
     res = search_root(ksearch, states, eval_fn, params, tau=tau)
@@ -118,6 +148,29 @@ def selfplay_step(states: GoState, buf: GameBuffer, key: jax.Array,
         axis=-1).astype(jnp.int32)
     alt_viol = jax.vmap(superko_violation)(states, alt)
     move = jnp.where(viol, jnp.where(alt_viol, PASS_MOVE, alt), res.mcts_move)
+
+    # Raw-policy opening moves: sample directly from the masked NN prior
+    # for the first raw_until moves of a game (self_play_thread.cc:362-368,
+    # 527-533). The search result above is discarded for those boards.
+    sampling_raw = states.move_count < aux.raw_until
+    raw_sample = jax.random.categorical(
+        kraw, jnp.log(jnp.maximum(res.root_priors, 1e-30)),
+        axis=-1).astype(jnp.int32)
+    raw_viol = jax.vmap(superko_violation)(states, raw_sample)
+    raw_sample = jnp.where(raw_viol, PASS_MOVE, raw_sample)
+    move = jnp.where(sampling_raw, raw_sample, move)
+
+    # Down-bad annealing of the training-selection probability
+    # (self_play_thread.cc:436-537): after 5 consecutive moves with
+    # |root qz| past 0.9, anneal selection by down_bad_coeff^2.
+    qz = res.root_outcome
+    is_bad = jnp.abs(qz) > DOWN_BAD_THRESHOLD
+    down_bad_count = jnp.where(is_bad, aux.down_bad_count + 1, 0)
+    is_down_bad = down_bad_count >= DOWN_BAD_MOVES
+    coeff = jnp.clip((1.0 - jnp.abs(qz)) / (1.0 - DOWN_BAD_THRESHOLD), 0, 1)
+    keep_prob = jnp.where(is_down_bad, coeff * coeff, 1.0)
+    trainable = (jnp.bool_(selected_tier) & ~sampling_raw
+                 & (jax.random.uniform(ksel, (B,)) < keep_prob))
 
     over = jax.vmap(is_game_over)(states)
     move = jnp.where(over, PASS_MOVE, move)
@@ -138,7 +191,7 @@ def selfplay_step(states: GoState, buf: GameBuffer, key: jax.Array,
         kld=wr(buf.kld, res.kld),
         visits=wr(buf.visits, res.visits),
         trainable=buf.trainable.at[b, t].set(
-            jnp.where(active, jnp.bool_(trainable), buf.trainable[b, t])),
+            jnp.where(active, trainable, buf.trainable[b, t])),
     )
 
     new_states, _ = jax.vmap(step)(states, move)
@@ -147,7 +200,8 @@ def selfplay_step(states: GoState, buf: GameBuffer, key: jax.Array,
         lambda new, old: jnp.where(
             jnp.reshape(active, (B,) + (1,) * (new.ndim - 1)), new, old),
         new_states, states)
-    return states, buf, key
+    aux = SelfplayAux(raw_until=aux.raw_until, down_bad_count=down_bad_count)
+    return states, buf, aux, key
 
 
 def finished_mask(states: GoState, cfg: SelfplayConfig) -> jnp.ndarray:
@@ -159,18 +213,46 @@ def final_scores(states: GoState):
     return jax.vmap(score_board)(states)
 
 
-def reset_finished(states: GoState, buf: GameBuffer, done: jnp.ndarray,
-                   komi: float) -> Tuple[GoState, GameBuffer]:
-    """Replace finished boards with fresh games and clear their records."""
+def reset_finished(states: GoState, buf: GameBuffer, aux: SelfplayAux,
+                   done: jnp.ndarray, komi: float, key: jax.Array,
+                   init_states: Optional[GoState] = None,
+                   use_init: Optional[jnp.ndarray] = None,
+                   max_raw_policy_moves: int = 30,
+                   ) -> Tuple[GoState, GameBuffer, SelfplayAux]:
+    """Replace finished boards with fresh games (or GoExploit reuse starts)
+    and clear their records.
+
+    `init_states`/`use_init` optionally supply per-board restart positions
+    from the reuse buffer (GetInitState, self_play_thread.cc:203-254). The
+    raw-policy opening length for restarted boards decays with the start
+    move number with a half-life of 40 moves (self_play_thread.cc:362-366).
+    """
     B = states.stones.shape[0]
-    fresh = jax.vmap(lambda _: new_state(komi))(jnp.arange(B))
+    repl = jax.vmap(lambda _: new_state(komi))(jnp.arange(B))
+    if init_states is not None:
+        sel = done & use_init
+        repl = jax.tree_util.tree_map(
+            lambda init, f: jnp.where(
+                jnp.reshape(sel, (B,) + (1,) * (f.ndim - 1)), init, f),
+            init_states, repl)
     states = jax.tree_util.tree_map(
         lambda f, old: jnp.where(
             jnp.reshape(done, (B,) + (1,) * (f.ndim - 1)), f, old),
-        fresh, states)
+        repl, states)
     buf = jax.tree_util.tree_map(
         lambda arr: jnp.where(
             jnp.reshape(done, (B,) + (1,) * (arr.ndim - 1)),
             jnp.zeros_like(arr), arr),
         buf)
-    return states, buf
+    max_raw = jnp.round(
+        float(max_raw_policy_moves)
+        * 0.5 ** (states.move_count.astype(jnp.float32) / 40.0)
+    ).astype(jnp.int32)
+    new_raw = jnp.floor(
+        jax.random.uniform(key, (B,)) * (max_raw + 1).astype(jnp.float32)
+    ).astype(jnp.int32)
+    aux = SelfplayAux(
+        raw_until=jnp.where(done, states.move_count + new_raw, aux.raw_until),
+        down_bad_count=jnp.where(done, 0, aux.down_bad_count),
+    )
+    return states, buf, aux

@@ -16,7 +16,8 @@ def tiny_cfg():
         train_batch_size=8,
         search=SearchParams(n=4, k=2, noise_scale=1.0, max_depth=8),
         selfplay=SelfplayConfig(batch_size=4, max_game_len=12,
-                                tau_initial=1.0, tau_min=0.5),
+                                tau_initial=1.0, tau_min=0.5,
+                                max_raw_policy_moves=2),
         lr=1e-3,
         dtype="float32",
         seed=3,
