@@ -32,15 +32,21 @@ from p3achygo_tpu.game.board import GoState, point_liberties
 from p3achygo_tpu.game.ladder import laddered_stones
 
 
-def features(state: GoState, include_ladders: bool = True
+def features(state: GoState, include_ladders: bool = True,
+             libs: jnp.ndarray = None
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (planes float32[19, 19, 15], scalars float32[8]) for state.to_move."""
+    """-> (planes float32[19, 19, 15], scalars float32[8]) for state.to_move.
+
+    `libs` optionally supplies precomputed per-point chain liberty counts
+    (the batched caller computes them with the Pallas kernel).
+    """
     c = state.to_move
     stones = state.stones
     own = (stones == c).astype(jnp.float32)
     opp = (stones == (-c)).astype(jnp.float32)
 
-    libs = point_liberties(stones, state.chain_id)
+    if libs is None:
+        libs = point_liberties(stones, state.chain_id)
 
     def pair(mask):
         m = mask.astype(jnp.float32)
@@ -86,4 +92,10 @@ def features(state: GoState, include_ladders: bool = True
     return planes, scalars
 
 
-batched_features = jax.vmap(features, in_axes=(0, None))
+def batched_features(states: GoState, include_ladders: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B] states -> (planes [B,19,19,15], scalars [B,8]); Pallas libs."""
+    from p3achygo_tpu.ops.liberties import point_liberties_auto
+
+    libs = point_liberties_auto(states.stones, states.chain_id)
+    return jax.vmap(lambda s, l: features(s, include_ladders, l))(states, libs)

@@ -320,10 +320,28 @@ def _simulate_play(stones: jnp.ndarray, chain_id: jnp.ndarray, base_hash: jnp.nd
 
 
 def _in_history(state: GoState, h: jnp.ndarray) -> jnp.ndarray:
-    """Exact positional-superko membership of uint32[2] hash h."""
-    valid = jnp.arange(MAX_HISTORY) < state.history_len
+    """Exact positional-superko membership of uint32[2] hash h.
+
+    A zero-capacity history (search scratch states, see strip_history)
+    statically disables the check.
+    """
+    cap = state.history.shape[0]
+    if cap == 0:
+        return jnp.bool_(False)
+    valid = jnp.arange(cap) < state.history_len
     eq = jnp.all(state.history == h[None, :], axis=1) & valid
     return jnp.any(eq)
+
+
+def strip_history(state: GoState) -> GoState:
+    """Zero-capacity-history view for in-tree search scratch boards.
+
+    The tree search never checks positional superko on simulated moves
+    (the cheap mask + real-move guard handle it), so carrying and updating
+    the [MAX_HISTORY, 2] ring through every descent step is pure memory
+    traffic; this statically removes it.
+    """
+    return state._replace(history=jnp.zeros((0, 2), jnp.uint32))
 
 
 def step(state: GoState, action: jnp.ndarray) -> Tuple[GoState, jnp.ndarray]:
@@ -360,12 +378,16 @@ def step(state: GoState, action: jnp.ndarray) -> Tuple[GoState, jnp.ndarray]:
     stones_f = jnp.where(do_play, sim.stones, state.stones)
     chain_f = jnp.where(do_play, sim.chain_id, state.chain_id)
     hash_f = jnp.where(do_play, sim.new_hash, state.hash)
-    hist_idx = jnp.clip(state.history_len, 0, MAX_HISTORY - 1)
-    history_f = jnp.where(
-        do_play,
-        state.history.at[hist_idx].set(sim.new_hash),
-        state.history,
-    )
+    hist_cap = state.history.shape[0]
+    if hist_cap > 0:
+        hist_idx = jnp.clip(state.history_len, 0, hist_cap - 1)
+        history_f = jnp.where(
+            do_play,
+            state.history.at[hist_idx].set(sim.new_hash),
+            state.history,
+        )
+    else:
+        history_f = state.history
     history_len_f = state.history_len + do_play.astype(jnp.int32)
 
     # Simple-ko point: exactly one stone captured by a new single-stone chain
@@ -411,17 +433,9 @@ def is_game_over(state: GoState) -> jnp.ndarray:
     return state.consecutive_passes >= 2
 
 
-def legal_mask(state: GoState) -> jnp.ndarray:
-    """Cheap legality mask for state.to_move -> bool[362].
-
-    Exact for everything except positional superko beyond the simple ko
-    (which `step` / `superko_violation` enforce on the played move). The
-    search tree uses this mask; the reference instead dry-runs every
-    candidate (gumbel.cc:287-306 -> PlayMoveDry), which full_legal_mask
-    mirrors for parity tests.
-    """
+def legal_mask_from_libs(state: GoState, libs_pt: jnp.ndarray) -> jnp.ndarray:
+    """legal_mask with precomputed per-point chain liberty counts."""
     c = state.to_move
-    libs_pt = point_liberties(state.stones, state.chain_id)
     nbr_color = _pad(state.stones, jnp.int8(99))[NEIGHBORS]  # [361, 4]
     nbr_libs = _pad(libs_pt, jnp.int32(0))[NEIGHBORS]
     empty = state.stones == EMPTY
@@ -431,6 +445,28 @@ def legal_mask(state: GoState) -> jnp.ndarray:
     legal = empty & (any_empty_nbr | safe_friend | captures)
     legal = legal & (_IOTA != state.ko_point)
     return jnp.concatenate([legal, jnp.ones((1,), jnp.bool_)])
+
+
+def legal_mask(state: GoState) -> jnp.ndarray:
+    """Cheap legality mask for state.to_move -> bool[362].
+
+    Exact for everything except positional superko beyond the simple ko
+    (which `step` / `superko_violation` enforce on the played move). The
+    search tree uses this mask; the reference instead dry-runs every
+    candidate (gumbel.cc:287-306 -> PlayMoveDry), which full_legal_mask
+    mirrors for parity tests.
+    """
+    return legal_mask_from_libs(
+        state, point_liberties(state.stones, state.chain_id))
+
+
+def legal_mask_batch(states: GoState) -> jnp.ndarray:
+    """Batched legality mask [B, 362] via the Pallas liberty kernel on TPU
+    (the per-point libs gather is a serialized generic gather under XLA)."""
+    from p3achygo_tpu.ops.liberties import point_liberties_auto
+
+    libs = point_liberties_auto(states.stones, states.chain_id)
+    return jax.vmap(legal_mask_from_libs)(states, libs)
 
 
 def dry_run_status(state: GoState, action: jnp.ndarray) -> jnp.ndarray:

@@ -42,7 +42,13 @@ from p3achygo_tpu.constants import (
     SCORE_INFLECTION_POINT,
 )
 from p3achygo_tpu.features import features
-from p3achygo_tpu.game.board import GoState, is_game_over, legal_mask, step
+from p3achygo_tpu.game.board import (
+    GoState,
+    is_game_over,
+    legal_mask,
+    legal_mask_batch,
+    step,
+)
 from p3achygo_tpu.game.scoring import score as score_board
 from p3achygo_tpu.mcts.tree import (
     MIN_Q,
@@ -51,7 +57,9 @@ from p3achygo_tpu.mcts.tree import (
     Tree,
     child_visits,
     make_tree,
+    q_nvis_of_children,
     q_of_children,
+    rows_by_node,
 )
 
 _BIG_NEG = -1e9
@@ -126,8 +134,9 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
                     - SCORE_INFLECTION_POINT + 0.5)
 
     def eval_fn(states: GoState) -> EvalOutput:
-        planes, scalars = jax.vmap(lambda s: features(s, include_ladders))(
-            states)
+        from p3achygo_tpu.features import batched_features
+
+        planes, scalars = batched_features(states, include_ladders)
         if symmetrize:
             sym = (states.hash[:, 0] % 8).astype(jnp.int32)  # [B]
             n, H, W_, C = planes.shape
@@ -221,11 +230,19 @@ def _init_nodes(tree: Tree, node: jnp.ndarray, ev: EvalOutput,
 def _nonroot_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
                     c_visit: float, c_scale: float,
                     bidx: jnp.ndarray = None) -> jnp.ndarray:
-    """Improved-policy-minus-visit-share argmax (gumbel.cc:214-237)."""
+    """Improved-policy-minus-visit-share argmax (gumbel.cc:214-237).
+
+    `node` is [W] with W = B * k (lanes b-major); row-indexed tree state is
+    read with one-hot contractions (TPU generic gathers serialize).
+    """
     b = jnp.arange(node.shape[0]) if bidx is None else bidx
-    logp = tree.log_priors[b, node]  # [W, 362]
-    q = q_of_children(tree, node, b)
-    nvis = child_visits(tree, node, b)
+    B = tree.n.shape[0]
+    node_bk = node.reshape(B, -1)
+    W = node.shape[0]
+    logp = rows_by_node(tree.log_priors, node_bk).reshape(W, -1)
+    q, nvis = q_nvis_of_children(tree, node_bk)
+    q = q.reshape(W, -1)
+    nvis = nvis.reshape(W, -1)
     visited = nvis > 0
     maxn = jnp.max(nvis, axis=-1)
     sum_children = jnp.maximum(tree.n[b, node] - 1, 0).astype(jnp.float32)
@@ -375,16 +392,22 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         valid0 = cand_valid[bw, cw] & (cw < active_k) & ~board_over[bw]
 
         # --- descent (Search, gumbel.cc:674-727), k-wide ---
+        # The tree is READ-ONLY inside the while loop: within one sweep no
+        # lane can reach another lane's freshly-allocated node (disjoint
+        # subtrees), so child-table writes and node-slot assignment happen
+        # once after the loop. Keeping the ~100MB tree out of the loop
+        # carry avoids a full copy per level (the dominant cost before).
         D = params.max_depth
         path_nodes0 = jnp.full((W, D), -1, jnp.int32)
         lane = jnp.arange(W)
+        NEW_MARK = jnp.int32(-2)  # placeholder for this sweep's new node
 
         def body(carry):
-            (tree, scratch, cur, depth, done, path_nodes, leaf_new,
-             leaf_terminal) = carry
+            (scratch, cur, depth, done, path_nodes, path_actions, leaf_new,
+             leaf_terminal, alloc_parent, alloc_action) = carry
             active = ~done
             node = cur  # parent for this edge; at depth 0, node == root(0)
-            legal = jax.vmap(legal_mask)(scratch)
+            legal = legal_mask_batch(scratch)
             a_policy = _nonroot_action(tree, node, legal, params.c_visit,
                                        params.c_scale, bw)
             a = jnp.where(depth == 0, action0, a_policy)
@@ -397,47 +420,61 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
 
             child = tree.children[bw, node, a]
             need_alloc = (child < 0) & active
-            # Per-board allocation ranks so concurrent lanes get distinct
-            # node slots.
-            na = need_alloc.reshape(B, k)
-            rank = jnp.cumsum(na, axis=1) - na
-            alloc_idx = (tree.next_free[:, None] + rank).reshape(-1)
-            child_idx = jnp.where(need_alloc, alloc_idx, child).astype(jnp.int32)
-            # Inactive lanes write to the spare slot (duplicate scatter
-            # indices across lanes must not clobber live writes).
-            node_w = jnp.where(active, node, spare)
-            a_w = jnp.where(active, a, 0)
-            tree = tree._replace(
-                children=tree.children.at[bw, node_w, a_w].set(
-                    jnp.where(active, child_idx,
-                              tree.children[bw, node_w, a_w])),
-                next_free=tree.next_free + jnp.sum(na, axis=1),
-            )
+            child_idx = jnp.where(need_alloc, NEW_MARK, child).astype(jnp.int32)
+            alloc_parent = jnp.where(need_alloc, node, alloc_parent)
+            alloc_action = jnp.where(need_alloc, a, alloc_action)
+
             terminal_board = jax.vmap(is_game_over)(scratch) & active
-            known_terminal = tree.is_terminal[
+            known_terminal = (child >= 0) & tree.is_terminal[
                 bw, jnp.clip(child_idx, 0, max_nodes - 1)]
             stop = (need_alloc | terminal_board | known_terminal) & active
 
             path_nodes = path_nodes.at[lane, depth].set(
                 jnp.where(active, child_idx, path_nodes[lane, depth]))
+            path_actions = path_actions.at[lane, depth].set(
+                jnp.where(active, a, path_actions[lane, depth]))
             leaf_new = jnp.where(stop & need_alloc & ~terminal_board, True,
                                  leaf_new)
             leaf_terminal = jnp.where(stop & terminal_board, True, leaf_terminal)
             cur = jnp.where(active, child_idx, cur)
             depth = depth + active.astype(jnp.int32)
             done = done | stop | (depth >= D)
-            return (tree, scratch, cur, depth, done, path_nodes, leaf_new,
-                    leaf_terminal)
+            return (scratch, cur, depth, done, path_nodes, path_actions,
+                    leaf_new, leaf_terminal, alloc_parent, alloc_action)
 
         def cond(carry):
-            done = carry[4]
+            done = carry[3]
             return ~jnp.all(done)
 
-        init = (tree, states_wide, jnp.zeros((W,), jnp.int32),
+        from p3achygo_tpu.game.board import strip_history
+
+        scratch0 = jax.vmap(strip_history)(states_wide)
+        init = (scratch0, jnp.zeros((W,), jnp.int32),
                 jnp.zeros((W,), jnp.int32), ~valid0, path_nodes0,
-                jnp.zeros((W,), jnp.bool_), jnp.zeros((W,), jnp.bool_))
-        (tree, leaf_states, leaf_node, depth, _, path_nodes, leaf_new,
-         leaf_terminal) = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((W, D), jnp.int32),
+                jnp.zeros((W,), jnp.bool_), jnp.zeros((W,), jnp.bool_),
+                jnp.full((W,), spare, jnp.int32), jnp.zeros((W,), jnp.int32))
+        (leaf_states, cur_final, depth, _, path_nodes, path_actions, leaf_new,
+         leaf_terminal, alloc_parent, alloc_action) = jax.lax.while_loop(
+            cond, body, init)
+
+        # Assign node slots for this sweep's allocations (<= 1 per lane)
+        # and apply the deferred child-table writes in one scatter.
+        allocated = (cur_final == NEW_MARK) & valid0
+        na = allocated.reshape(B, k)
+        rank = jnp.cumsum(na, axis=1) - na
+        new_idx = (tree.next_free[:, None] + rank).reshape(-1).astype(jnp.int32)
+        leaf_node = jnp.where(allocated, new_idx,
+                              jnp.clip(cur_final, 0, max_nodes - 1))
+        path_nodes = jnp.where(path_nodes == NEW_MARK, new_idx[:, None],
+                               path_nodes)
+        wp = jnp.where(allocated, alloc_parent, spare)
+        wa = jnp.where(allocated, alloc_action, 0)
+        tree = tree._replace(
+            children=tree.children.at[bw, wp, wa].set(
+                jnp.where(allocated, leaf_node, tree.children[bw, wp, wa])),
+            next_free=tree.next_free + jnp.sum(na, axis=1),
+        )
 
         leaf_color = leaf_states.to_move
         root_sign = jnp.where(leaf_color == root_color_w, 1.0, -1.0)
@@ -540,6 +577,19 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                                    dtype=jnp.float32)
         cat_add = jnp.einsum("bin,bik->bnk", oh * nlf[:, :, None], oh_bucket,
                              preferred_element_type=jnp.float32)
+
+        # Edge-stat updates: the edge (parent, action) accumulates the same
+        # increments as its child node (tree mode: edge stats == child
+        # stats), enabling gather-free child reads during descent.
+        parents = jnp.concatenate(
+            [jnp.zeros((W, 1), jnp.int32), node_s[:, :-1]], axis=1)
+        oh_parent = jax.nn.one_hot(parents.reshape(B, I), max_nodes,
+                                   dtype=jnp.float32)
+        oh_act = jax.nn.one_hot(path_actions.reshape(B, I), NUM_MOVES,
+                                dtype=jnp.float32)
+        edge = lambda vals, m: jnp.einsum(
+            "bin,bia->bna", oh_parent * (vals.reshape(B, I) * m)[:, :, None],
+            oh_act, preferred_element_type=jnp.float32)
         tree = tree._replace(
             n=tree.n + acc(inc.astype(jnp.float32), onp).astype(jnp.int32),
             w=tree.w + acc(add_w, onp),
@@ -547,6 +597,9 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             score_sum=tree.score_sum + acc(add_sc, onp),
             v_var_sum=tree.v_var_sum + acc(dvar, nlf),
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
+            edge_n=tree.edge_n + edge(inc.astype(jnp.float32),
+                                      onp).astype(jnp.int32),
+            edge_w=tree.edge_w + edge(add_w, onp),
         )
 
         # --- in-scan candidate re-ranking at round boundaries ---

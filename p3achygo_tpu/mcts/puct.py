@@ -141,15 +141,22 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
     board_over = jax.vmap(is_game_over)(states)
     raw_nn_move = jnp.argmax(root_ev.log_priors, axis=-1).astype(jnp.int32)
 
+    from p3achygo_tpu.game.board import strip_history
+
+    scratch_base = jax.vmap(strip_history)(states)
+
     def simulate(carry, _):
         tree, key = carry
         valid0 = ~board_over
         D = p.max_depth
         path_nodes0 = jnp.full((B, D), -1, jnp.int32)
+        NEW_MARK = jnp.int32(-2)
 
+        # Tree is read-only during the descent (one allocation per sim,
+        # applied after the loop) — see gumbel.py for rationale.
         def body(carry):
-            (tree, scratch, cur, depth, done, path_nodes, leaf_new,
-             leaf_terminal) = carry
+            (scratch, cur, depth, done, path_nodes, path_actions, leaf_new,
+             leaf_terminal, alloc_parent, alloc_action) = carry
             active = ~done
             node = cur
             legal = jax.vmap(legal_mask)(scratch)
@@ -163,35 +170,48 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
 
             child = tree.children[b, node, a]
             need_alloc = (child < 0) & active
-            child_idx = jnp.where(need_alloc, tree.next_free, child).astype(jnp.int32)
-            node_w = jnp.where(active, node, spare)
-            a_w = jnp.where(active, a, 0)
-            tree = tree._replace(
-                children=tree.children.at[b, node_w, a_w].set(
-                    jnp.where(active, child_idx, tree.children[b, node_w, a_w])),
-                next_free=tree.next_free + need_alloc.astype(jnp.int32),
-            )
+            child_idx = jnp.where(need_alloc, NEW_MARK, child).astype(jnp.int32)
+            alloc_parent = jnp.where(need_alloc, node, alloc_parent)
+            alloc_action = jnp.where(need_alloc, a, alloc_action)
             terminal_board = jax.vmap(is_game_over)(scratch) & active
-            known_terminal = tree.is_terminal[
+            known_terminal = (child >= 0) & tree.is_terminal[
                 b, jnp.clip(child_idx, 0, max_nodes - 1)]
             stop = (need_alloc | terminal_board | known_terminal) & active
             path_nodes = path_nodes.at[b, depth].set(
                 jnp.where(active, child_idx, path_nodes[b, depth]))
+            path_actions = path_actions.at[b, depth].set(
+                jnp.where(active, a, path_actions[b, depth]))
             leaf_new = jnp.where(stop & need_alloc & ~terminal_board, True,
                                  leaf_new)
             leaf_terminal = jnp.where(stop & terminal_board, True, leaf_terminal)
             cur = jnp.where(active, child_idx, cur)
             depth = depth + active.astype(jnp.int32)
             done = done | stop | (depth >= D)
-            return (tree, scratch, cur, depth, done, path_nodes, leaf_new,
-                    leaf_terminal)
+            return (scratch, cur, depth, done, path_nodes, path_actions,
+                    leaf_new, leaf_terminal, alloc_parent, alloc_action)
 
-        init = (tree, states, jnp.zeros((B,), jnp.int32),
+        init = (scratch_base, jnp.zeros((B,), jnp.int32),
                 jnp.zeros((B,), jnp.int32), ~valid0, path_nodes0,
-                jnp.zeros((B,), jnp.bool_), jnp.zeros((B,), jnp.bool_))
-        (tree, leaf_states, leaf_node, depth, _, path_nodes, leaf_new,
-         leaf_terminal) = jax.lax.while_loop(
-            lambda c: ~jnp.all(c[4]), body, init)
+                jnp.zeros((B, D), jnp.int32),
+                jnp.zeros((B,), jnp.bool_), jnp.zeros((B,), jnp.bool_),
+                jnp.full((B,), spare, jnp.int32), jnp.zeros((B,), jnp.int32))
+        (leaf_states, cur_final, depth, _, path_nodes, path_actions, leaf_new,
+         leaf_terminal, alloc_parent, alloc_action) = jax.lax.while_loop(
+            lambda c: ~jnp.all(c[3]), body, init)
+
+        allocated = (cur_final == NEW_MARK) & valid0
+        new_idx = tree.next_free.astype(jnp.int32)
+        leaf_node = jnp.where(allocated, new_idx,
+                              jnp.clip(cur_final, 0, max_nodes - 1))
+        path_nodes = jnp.where(path_nodes == NEW_MARK, new_idx[:, None],
+                               path_nodes)
+        wp = jnp.where(allocated, alloc_parent, spare)
+        wa = jnp.where(allocated, alloc_action, 0)
+        tree = tree._replace(
+            children=tree.children.at[b, wp, wa].set(
+                jnp.where(allocated, leaf_node, tree.children[b, wp, wa])),
+            next_free=tree.next_free + allocated.astype(jnp.int32),
+        )
 
         leaf_color = leaf_states.to_move
         root_sign = jnp.where(leaf_color == root_color, 1.0, -1.0)
@@ -278,6 +298,18 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
         oh_bucket = jax.nn.one_hot(bucket, NUM_V_BUCKETS, dtype=jnp.float32)
         cat_add = jnp.einsum("bin,bik->bnk", oh * nlf[:, :, None], oh_bucket,
                              preferred_element_type=jnp.float32)
+        # Edge updates: (parent, action) accumulates the child's increments
+        # (see gumbel.py); the first path entry's parent is the root.
+        from p3achygo_tpu.constants import NUM_MOVES as _NM
+
+        parents = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), node_s[:, :-1]], axis=1)
+        oh_parent = jax.nn.one_hot(parents, max_nodes, dtype=jnp.float32)
+        oh_act = jax.nn.one_hot(path_actions, _NM, dtype=jnp.float32)
+        edge = lambda vals, m: jnp.einsum(
+            "bin,bia->bna", oh_parent * (vals * m)[:, :, None], oh_act,
+            preferred_element_type=jnp.float32)
+
         # root backup (leaf value signed into root's perspective)
         root_sign_v = jnp.where(tree.color[:, 0] == leaf_c, 1.0, -1.0)
         tree = tree._replace(
@@ -290,6 +322,8 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
             score_sum=tree.score_sum + acc(add_sc, onp),
             v_var_sum=tree.v_var_sum + acc(dvar, nlf),
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
+            edge_n=tree.edge_n + edge(onp, onp).astype(jnp.int32),
+            edge_w=tree.edge_w + edge(add_w, onp),
         )
         return (tree, key), valid0.astype(jnp.int32)
 
