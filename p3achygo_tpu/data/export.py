@@ -56,7 +56,7 @@ def examples_to_records(ex: GameExamples) -> List[bytes]:
             pi_aux_dist=ex.pi_aux_dist[i],
             ownership=(ex.own[i] * ex.color[i]).astype(np.int8),  # black view
             score_margin_black=float(ex.score_margin[i] * ex.color[i]),
-            mcts_value_dist=np.zeros(51, np.uint32),
+            mcts_value_dist=ex.mcts_value_dist[i].astype(np.uint32),
             q6=float(ex.q6[i]), q16=float(ex.q16[i]), q50=float(ex.q50[i]),
             q6_score=float(ex.q6_score[i]), q16_score=float(ex.q16_score[i]),
             q50_score=float(ex.q50_score[i]),

@@ -103,7 +103,11 @@ def prepare_batch(key: jax.Array, batch: Dict[str, jnp.ndarray],
         q50_score=batch["q50_score"],
         policy_aux_dist=pi_aux_dist,
         has_pi_aux_dist=batch["has_pi_aux_dist"],
-        mcts_value_dist=jnp.zeros((N, NUM_V_BUCKETS), jnp.float32),
-        has_mcts_value_dist=jnp.zeros((N,), jnp.bool_),
+        mcts_value_dist=batch.get(
+            "mcts_value_dist",
+            jnp.zeros((N, NUM_V_BUCKETS), jnp.uint16)).astype(jnp.float32),
+        has_mcts_value_dist=(
+            jnp.sum(batch["mcts_value_dist"].astype(jnp.int32), axis=-1) > 0
+            if "mcts_value_dist" in batch else jnp.zeros((N,), jnp.bool_)),
     )
     return planes, scalars, targets

@@ -36,6 +36,7 @@ _FIELDS = dict(
     q16_score=(np.float32, ()),
     q50_score=(np.float32, ()),
     weight=(np.float32, ()),
+    mcts_value_dist=(np.uint16, (51,)),
 )
 
 

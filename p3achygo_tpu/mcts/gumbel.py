@@ -113,6 +113,7 @@ class GumbelResult(NamedTuple):
     visits: jnp.ndarray  # int32[B] sims spent
     root_child_visits: jnp.ndarray  # int32[B, 362]
     root_priors: jnp.ndarray  # f32[B, 362] legality-masked NN policy
+    root_value_dist: jnp.ndarray  # int32[B, 51] root outcome-value histogram
 
 
 def make_eval_fn(model, variables, symmetrize: bool = True,
@@ -362,6 +363,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             visits=jnp.zeros((B,), jnp.int32),
             root_child_visits=jnp.zeros((B, NUM_MOVES), jnp.int32),
             root_priors=pi,
+            root_value_dist=jnp.zeros((B, NUM_V_BUCKETS), jnp.int32),
         )
 
     _, cand_actions = jax.lax.top_k(base_score, k)  # [B, k] desc
@@ -697,6 +699,12 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
     root_value = (root_ev.outcome_value + sel_n * sel_q) / total
     root_outcome = (root_ev.outcome_value + sel_n * sel_qz) / total
 
+    # Root value-histogram stitching: fold in the selected child's buckets
+    # mirrored (sign flip), gumbel.cc:543-551.
+    child_hist = tree.v_categorical[b, sel_child_s, :]  # [B, 51]
+    root_value_dist = tree.v_categorical[:, 0, :] + jnp.where(
+        (sel_child >= 0)[:, None], child_hist[:, ::-1], 0)
+
     eps = 1e-10
     kld = jnp.sum(
         jnp.where(pi_improved > 0,
@@ -716,4 +724,5 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         visits=visits_spent,
         root_child_visits=nvis0,
         root_priors=probs0,
+        root_value_dist=root_value_dist,
     )

@@ -395,4 +395,5 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
         visits=visits_spent,
         root_child_visits=nvis0,
         root_priors=probs0,
+        root_value_dist=tree.v_categorical[:, 0, :],
     )

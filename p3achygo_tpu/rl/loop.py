@@ -144,6 +144,7 @@ class GenerationLoop:
                 root_q_outcome=buf_np.root_q_outcome[b],
                 root_score=buf_np.root_score[b], kld=buf_np.kld[b],
                 trainable=buf_np.trainable[b],
+                mcts_value_dist=buf_np.mcts_value_dist[b],
                 num_moves=L,
                 black_score=float(bs[b]), white_score=float(ws[b]),
                 ownership=np.asarray(own[b]), komi=float(komi[b]))

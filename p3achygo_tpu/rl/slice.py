@@ -125,6 +125,7 @@ class RLSlice:
                 root_score=buf_np.root_score[b],
                 kld=buf_np.kld[b],
                 trainable=buf_np.trainable[b],
+                mcts_value_dist=buf_np.mcts_value_dist[b],
                 num_moves=min(int(counts[b]), self.cfg.selfplay.max_game_len),
                 black_score=float(bs[b]),
                 white_score=float(ws[b]),

@@ -77,6 +77,7 @@ class GameBuffer(NamedTuple):
     kld: jnp.ndarray  # f32[B, T]
     trainable: jnp.ndarray  # bool[B, T]
     visits: jnp.ndarray  # int32[B, T]
+    mcts_value_dist: jnp.ndarray  # int16[B, T, 51] root value histogram
 
 
 def make_game_buffer(B: int, T: int) -> GameBuffer:
@@ -91,6 +92,7 @@ def make_game_buffer(B: int, T: int) -> GameBuffer:
         kld=jnp.zeros((B, T), jnp.float32),
         trainable=jnp.zeros((B, T), jnp.bool_),
         visits=jnp.zeros((B, T), jnp.int32),
+        mcts_value_dist=jnp.zeros((B, T, 51), jnp.int16),
     )
 
 
@@ -190,6 +192,7 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
         root_score=wr(buf.root_score, res.root_score_est),
         kld=wr(buf.kld, res.kld),
         visits=wr(buf.visits, res.visits),
+        mcts_value_dist=wr(buf.mcts_value_dist, res.root_value_dist),
         trainable=buf.trainable.at[b, t].set(
             jnp.where(active, trainable, buf.trainable[b, t])),
     )

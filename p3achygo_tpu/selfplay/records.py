@@ -49,6 +49,7 @@ class GameExamples:
     q16_score: np.ndarray
     q50_score: np.ndarray
     weight: np.ndarray  # f32[M] surprise sampling weight
+    mcts_value_dist: np.ndarray  # u16[M, 51] root value histogram
 
     def __len__(self):
         return self.stones.shape[0]
@@ -77,6 +78,7 @@ def finalize_game(
     white_score: float,
     ownership: np.ndarray,  # int8[361] final {0, 1, -1}
     komi: float,
+    mcts_value_dist: np.ndarray = None,  # int16[T, 51] or None
 ) -> Optional[GameExamples]:
     """Convert one finished game's move records into training examples."""
     L = int(num_moves)
@@ -114,6 +116,9 @@ def finalize_game(
         q16_score=np.zeros((M,), np.float32),
         q50_score=np.zeros((M,), np.float32),
         weight=np.ones((M,), np.float32),
+        mcts_value_dist=(mcts_value_dist[tr_idx].astype(np.uint16)
+                         if mcts_value_dist is not None
+                         else np.zeros((M, 51), np.uint16)),
     )
 
     for j, t in enumerate(tr_idx):

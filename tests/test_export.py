@@ -28,6 +28,7 @@ def _fake_game(m=3):
         q6=z(m), q16=z(m), q50=z(m),
         q6_score=z(m), q16_score=z(m), q50_score=z(m),
         weight=np.ones(m, np.float32),
+        mcts_value_dist=np.zeros((m, 51), np.uint16),
     )
     ex.stones[:, 60] = 1
     return ex
