@@ -25,6 +25,7 @@ from p3achygo_tpu.game.board import (
     step,
 )
 from p3achygo_tpu.game.scoring import score as score_board
+from p3achygo_tpu.gtp.time_control import TimeControl
 from p3achygo_tpu.mcts.gumbel import EvalFn, SearchParams, search_root
 from p3achygo_tpu.sgf import extract_moves, parse_sgf
 
@@ -73,7 +74,7 @@ class GtpService:
         "protocol_version", "name", "version", "known_command",
         "list_commands", "quit", "boardsize", "clear_board", "komi", "play",
         "genmove", "showboard", "final_score", "undo", "loadsgf",
-        "p3achygo-ownership",
+        "p3achygo-ownership", "time_settings", "time_left", "lz-analyze",
     ]
 
     def __init__(self, eval_fn: EvalFn, config: Optional[GtpConfig] = None):
@@ -83,10 +84,22 @@ class GtpService:
         self._history: List[GoState] = []
         self.state = self._fresh()
         self.key = jax.random.PRNGKey(0)
-        self._search = jax.jit(
-            lambda key, st: search_root(
-                key, jax.tree_util.tree_map(lambda x: x[None], st),
-                self.eval_fn, self.config.search))
+        self.time_control = TimeControl()
+        self._last_root_v = None
+        self._search_cache = {}
+        self._search = self._get_search(self.config.search.n)
+
+    def _get_search(self, n: int):
+        """Per-visit-count jitted search (time control picks among sizes)."""
+        if n not in self._search_cache:
+            import dataclasses as _dc
+
+            params = _dc.replace(self.config.search, n=n)
+            self._search_cache[n] = jax.jit(
+                lambda key, st: search_root(
+                    key, jax.tree_util.tree_map(lambda x: x[None], st),
+                    self.eval_fn, params))
+        return self._search_cache[n]
 
     def _fresh(self) -> GoState:
         return new_state(self.komi)
@@ -172,16 +185,48 @@ class GtpService:
         return ""
 
     def cmd_genmove(self, color=""):
+        import time as _time
+
         c = parse_color(color)
         st = self.state
         if int(st.to_move) != c:
             st = st._replace(to_move=jnp.int8(c))
+        budget = self.time_control.compute_move_time_ms(
+            int(st.move_count), self._last_root_v)
+        nmax = self.config.search.n
+        choices = tuple(n for n in (16, 32, 64, 128, 256, 512) if n <= nmax)             or (nmax,)
+        n = self.time_control.pick_visits(budget, choices, default=nmax)
         self.key, ks = jax.random.split(self.key)
-        res = self._search(ks, st)
+        t0 = _time.time()
+        res = self._get_search(n)(ks, st)
         action = int(res.mcts_move[0])
+        self.time_control.observe_search(
+            (_time.time() - t0) * 1000.0, int(res.visits[0]))
+        self._last_root_v = float(res.root_value[0])
         self._history.append(self.state)
         self.state, _ = step(st, jnp.int32(action))
         return action_to_gtp_vertex(action)
+
+    def cmd_time_settings(self, main_s="0", byo_s="0", byo_stones="0"):
+        self.time_control.set_time_settings(int(main_s), int(byo_s),
+                                            int(byo_stones))
+        return ""
+
+    def cmd_time_left(self, color="", seconds="0", stones="0"):
+        secs, stones = int(seconds), int(stones)
+        if stones > 0:
+            self.time_control.set_time_left(0, secs, stones)
+        else:
+            self.time_control.set_time_left(secs, 0, 0)
+        return ""
+
+    def cmd_lz_analyze(self, *args):
+        """One-shot analysis snapshot of the current position."""
+        from p3achygo_tpu.gtp.analysis import analysis_rows, format_lz_analyze
+
+        self.key, ks = jax.random.split(self.key)
+        res = self._search(ks, self.state)
+        return format_lz_analyze(analysis_rows(res))
 
     def cmd_showboard(self):
         from p3achygo_tpu.game.dsl import render

@@ -114,6 +114,7 @@ class GumbelResult(NamedTuple):
     root_child_visits: jnp.ndarray  # int32[B, 362]
     root_priors: jnp.ndarray  # f32[B, 362] legality-masked NN policy
     root_value_dist: jnp.ndarray  # int32[B, 51] root outcome-value histogram
+    root_child_q: jnp.ndarray  # f32[B, 362] per-child Q (MIN_Q unvisited)
 
 
 def make_eval_fn(model, variables, symmetrize: bool = True,
@@ -364,6 +365,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             root_child_visits=jnp.zeros((B, NUM_MOVES), jnp.int32),
             root_priors=pi,
             root_value_dist=jnp.zeros((B, NUM_V_BUCKETS), jnp.int32),
+            root_child_q=jnp.full((B, NUM_MOVES), MIN_Q),
         )
 
     _, cand_actions = jax.lax.top_k(base_score, k)  # [B, k] desc
@@ -725,4 +727,5 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         root_child_visits=nvis0,
         root_priors=probs0,
         root_value_dist=root_value_dist,
+        root_child_q=q0,
     )

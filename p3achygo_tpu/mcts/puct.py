@@ -396,4 +396,5 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
         root_child_visits=nvis0,
         root_priors=probs0,
         root_value_dist=tree.v_categorical[:, 0, :],
+        root_child_q=q0,
     )

@@ -70,3 +70,26 @@ def test_resignation_decides_games():
     assert res.by_resign == 4
     # Black (the first mover) resigns everywhere: cand wins its white games.
     assert res.cand_wins == 2.0
+
+
+def test_player_config_parsing():
+    from p3achygo_tpu.eval.player_config import parse_player_config
+
+    cfg = parse_player_config("""
+# eval config
+search_type: puct
+n: 64
+k: 4
+c_puct: 1.5
+enable_var_scaling: true
+root_selection: lcb
+tau: 0.5
+""")
+    assert cfg.search_type == "puct"
+    assert cfg.n == 64 and cfg.k == 4
+    assert cfg.c_puct == 1.5
+    assert cfg.enable_var_scaling is True
+    pp = cfg.to_puct_params()
+    assert pp.root_selection == "lcb" and pp.n == 64
+    sp = cfg.to_search_params()
+    assert sp.tau == 0.5

@@ -77,3 +77,40 @@ def test_stdin_loop():
     assert "= p3achygo_tpu" in text
     assert "? unknown command" in text
     assert text.strip().endswith("=")
+
+
+def test_time_control_commands(svc):
+    svc.handle("clear_board")
+    ok, _ = svc.handle("time_settings 300 30 5")
+    assert ok
+    ok, _ = svc.handle("time_left b 120 0")
+    assert ok
+    ok, resp = svc.handle("genmove b")
+    assert ok
+    # budget tracking established an ms/visit estimate
+    assert svc.time_control.ms_per_visit > 0
+
+
+def test_lz_analyze(svc):
+    svc.handle("clear_board")
+    svc.handle("play b D4")
+    ok, resp = svc.handle("lz-analyze")
+    assert ok
+    assert resp.startswith("info move ")
+    assert "visits" in resp and "winrate" in resp
+
+
+def test_time_control_budget_math():
+    from p3achygo_tpu.gtp.time_control import TimeControl
+
+    tc = TimeControl()
+    assert tc.compute_move_time_ms(0) == 0  # unconfigured
+    tc.set_time_settings(300, 0, 0)
+    b = tc.compute_move_time_ms(100)
+    assert 0 < b <= 300000
+    tc.set_time_left(0, 10, 3)  # byoyomi: move at last second
+    assert tc.compute_move_time_ms(100) == 9000
+    tc2 = TimeControl()
+    tc2.ms_per_visit = 10.0
+    assert tc2.pick_visits(700, (16, 32, 64, 128)) == 64
+    assert tc2.pick_visits(50, (16, 32, 64)) == 16
