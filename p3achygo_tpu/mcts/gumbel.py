@@ -135,6 +135,8 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
     score_values = (jnp.arange(NUM_SCORE_LOGITS, dtype=jnp.float32)
                     - SCORE_INFLECTION_POINT + 0.5)
 
+    from p3achygo_tpu.game.symmetry import NUM_SYMMETRIES, SYM_GATHER, SYM_SCATTER
+
     def eval_fn(states: GoState) -> EvalOutput:
         from p3achygo_tpu.features import batched_features
 
@@ -143,13 +145,22 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
             sym = (states.hash[:, 0] % 8).astype(jnp.int32)  # [B]
             n, H, W_, C = planes.shape
             flat = planes.reshape(n, H * W_, C)
-            flat = jax.vmap(
-                lambda g, s: apply_symmetry_grid(g.T, s).T)(flat, sym)
-            planes = flat.reshape(n, H, W_, C)
+            # All 8 transforms via constant-index gathers, then a per-board
+            # select (per-example-index gathers serialize on TPU).
+            sym_oh = jax.nn.one_hot(sym, NUM_SYMMETRIES)  # [B, 8]
+            acc = jnp.zeros_like(flat)
+            for s in range(NUM_SYMMETRIES):
+                acc = acc + sym_oh[:, s, None, None] * flat[:, SYM_GATHER[s], :]
+            planes = acc.reshape(n, H, W_, C)
         out = model.apply(variables, planes, scalars, train=False)
         pi_logits = out.pi_logits
         if symmetrize:
-            pi_logits = jax.vmap(apply_inverse_policy)(pi_logits, sym)
+            board_part = pi_logits[:, :SYM_SCATTER.shape[1]]
+            acc_p = jnp.zeros_like(board_part)
+            for s in range(NUM_SYMMETRIES):
+                acc_p = acc_p + sym_oh[:, s, None] * board_part[:, SYM_SCATTER[s]]
+            pi_logits = jnp.concatenate(
+                [acc_p, pi_logits[:, SYM_SCATTER.shape[1]:]], axis=1)
         value = out.outcome_probs[:, 1] - out.outcome_probs[:, 0]
         score_est = jnp.sum(out.score_probs * score_values[None, :], axis=-1)
         score_sq = jnp.sum(out.score_probs * score_values[None, :] ** 2, axis=-1)

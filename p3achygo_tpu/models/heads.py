@@ -113,20 +113,19 @@ class ValueHead(nn.Module):
         gamma = gamma.astype(jnp.float32)
 
         # Score distribution: condition pooled features on each score bin.
+        # Algebraically split the reference's Dense over concat([v_pooled,
+        # score_bin]) (model.py:938-960) into a shared v-term plus a per-bin
+        # scalar term, so no [N, 800, 65] broadcast is materialized in HBM
+        # (that broadcast made the score head ~8x the trunk's bandwidth).
         scores = scores.astype(self.dtype)
-        v_scores = jnp.concatenate(
-            [
-                jnp.broadcast_to(v_pooled[:, None, :],
-                                 (n, NUM_SCORE_LOGITS, v_pooled.shape[-1])),
-                jnp.broadcast_to(scores[None, :, None], (n, NUM_SCORE_LOGITS, 1)),
-            ],
-            axis=-1,
-        )
-        v_scores = nn.Dense(self.c_val, dtype=self.dtype,
-                            name="score_pre")(v_scores)
-        v_scores = mish(v_scores)
+        u = nn.Dense(self.c_val, dtype=self.dtype,
+                     name="score_pre_v")(v_pooled)  # [N, c_val]
+        w_s = self.param("score_pre_s", nn.initializers.lecun_normal(),
+                         (1, self.c_val)).astype(self.dtype)
+        h = u[:, None, :] + scores[None, :, None] * w_s[None, :, :]
+        h = mish(h)  # [N, 800, c_val]
         score_logits = nn.Dense(1, dtype=self.dtype,
-                                name="score_output")(v_scores)[..., 0]
+                                name="score_output")(h)[..., 0]
         score_logits = (
             jnp.minimum(nn.softplus(gamma), 10.0).astype(jnp.float32)
             * score_logits.astype(jnp.float32))

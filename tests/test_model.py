@@ -138,3 +138,18 @@ def test_loss_gradients_flow():
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     total_norm = sum(float(jnp.sum(l * l)) for l in leaves) ** 0.5
     assert total_norm > 0
+
+
+def test_validation_metrics():
+    from p3achygo_tpu.train.val import validate
+
+    model = build_model(get_config("tiny"))
+    variables = init_params(model, jax.random.PRNGKey(0))
+    board, scalars = _dummy_inputs(jax.random.PRNGKey(1), 4)
+    targets = _dummy_targets(jax.random.PRNGKey(2), 4)
+    out = validate(model, variables, [(board, scalars, targets)],
+                   LossCoeffs.rl())
+    for key in ("loss", "policy_acc", "policy_acc_top5", "outcome_acc",
+                "score_mae", "own_mae"):
+        assert key in out and np.isfinite(out[key])
+    assert 0.0 <= out["policy_acc"] <= out["policy_acc_top5"] <= 1.0
