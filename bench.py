@@ -47,10 +47,15 @@ def main():
     variables = init_params(model, jax.random.PRNGKey(0))
     eval_fn = make_eval_fn(model, variables)
 
+    from p3achygo_tpu.mcts.tree import make_tree
+
+    reuse_capacity = params.n + 2
+
     @jax.jit
-    def sp_step(states, buf, aux, key):
+    def sp_step(states, buf, aux, tree, key):
         return selfplay_step(states, buf, aux, key, eval_fn, params, cfg,
-                             selected_tier=True)
+                             selected_tier=True, reuse_tree=tree,
+                             reuse_capacity=reuse_capacity)
 
     states = jax.vmap(lambda _: new_state(cfg.komi))(jnp.arange(B))
     buf = make_game_buffer(B, cfg.max_game_len)
@@ -59,15 +64,16 @@ def main():
     aux = make_aux(kaux, B)
     # Disable the raw-policy opening for a pure full-search benchmark.
     aux = aux._replace(raw_until=aux.raw_until * 0)
+    tree = make_tree(B, reuse_capacity)
 
     # Warmup/compile.
-    states, buf, aux, key = sp_step(states, buf, aux, key)
+    states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
     jax.block_until_ready(states.stones)
 
     steps = 8
     t0 = time.time()
     for _ in range(steps):
-        states, buf, aux, key = sp_step(states, buf, aux, key)
+        states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
     jax.block_until_ready(states.stones)
     dt = time.time() - t0
 

@@ -19,9 +19,10 @@ Semantics mirrored from the reference:
 - Root stat stitching: visits from all children, value only from the
   selected child (gumbel.cc:510-557)
 
-Deviations (documented): no tree reuse across moves yet; in-tree legality
-uses the cheap mask (exact superko is enforced on real game moves, not
-simulated ones); early-stopping/over-search not yet implemented.
+Deviations (documented): in-tree legality uses the cheap mask (exact
+superko is enforced on real game moves, not simulated ones);
+early-stopping/over-search not yet implemented. Tree reuse across moves is
+supported via init_tree/compact_subtree (see search_root docstring).
 """
 from __future__ import annotations
 
@@ -56,6 +57,7 @@ from p3achygo_tpu.mcts.tree import (
     V_BUCKET_RANGE,
     Tree,
     child_visits,
+    compact_subtree,
     make_tree,
     q_nvis_of_children,
     q_of_children,
@@ -299,12 +301,22 @@ def _v_mixed_root(tree: Tree, probs0, q0, nvis0):
 
 def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                 params: SearchParams,
-                tau: Optional[jnp.ndarray] = None) -> GumbelResult:
+                tau: Optional[jnp.ndarray] = None,
+                init_tree: Optional[Tree] = None,
+                reuse_capacity: int = 0):
     """Run sequential-halving Gumbel search on a batch of boards.
 
     `tau` optionally overrides params.tau with a per-board [B] temperature
     (selfplay decays it with move number, self_play_thread.cc:570-581);
     tau <= 0 rows play the deterministic top candidate.
+
+    Tree reuse: pass `init_tree` (a compacted subtree from the previous
+    move, see tree.compact_subtree) and a static `reuse_capacity` > 0;
+    reused roots keep their statistics and skip re-initialization
+    (EvaluateRoot only for kNew roots, gumbel.cc:275-278) and the call
+    returns (result, working_tree). The caller compacts the working tree
+    under the move it actually plays (which may differ from
+    result.mcts_move after the superko guard / raw-policy opening).
     """
     B = states.stones.shape[0]
     b = jnp.arange(B)
@@ -324,26 +336,47 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         k_r //= 2
     theoretical_winner_visits = sum(v for _, v in round_specs)
 
-    max_nodes = total_sims + 2
+    max_nodes = total_sims + 2 + (reuse_capacity if init_tree is not None
+                                  else 0)
     tree = make_tree(B, max_nodes)
+    if init_tree is not None:
+        R = init_tree.n.shape[1]
+        splice = {}
+        for field in Tree._fields:
+            cur = getattr(tree, field)
+            src = getattr(init_tree, field)
+            if field == "next_free":
+                splice[field] = init_tree.next_free
+            else:
+                splice[field] = cur.at[:, :R].set(src)
+        tree = tree._replace(**splice)
+        reused = init_tree.evaluated[:, 0]
+    else:
+        reused = jnp.zeros((B,), jnp.bool_)
 
-    # --- root eval (EvaluateRoot, leaf_evaluator.cc:136-154) ---
+    # --- root eval (EvaluateRoot only for kNew roots,
+    #     leaf_evaluator.cc:136-154 / gumbel.cc:275-278) ---
     root_ev = eval_fn(states)
     root_color = states.to_move
-    active_all = jnp.ones((B,), jnp.bool_)
     tree = _init_nodes(tree, jnp.zeros((B,), jnp.int32), root_ev, root_color,
-                       root_ev.outcome_value, active_all)
+                       root_ev.outcome_value, ~reused)
+    fresh = (~reused).astype(jnp.int32)
+    freshf = (~reused).astype(jnp.float32)
+    bucket0 = jnp.clip(
+        ((root_ev.outcome_value + 1.0) / V_BUCKET_RANGE).astype(jnp.int32),
+        0, NUM_V_BUCKETS - 1)
     tree = tree._replace(
-        n=tree.n.at[:, 0].set(1),
-        w=tree.w.at[:, 0].set(root_ev.outcome_value),
-        w_outcome=tree.w_outcome.at[:, 0].set(root_ev.outcome_value),
-        score_sum=tree.score_sum.at[:, 0].set(root_ev.score_est),
-        v_categorical=tree.v_categorical.at[
-            b, 0,
-            jnp.clip(((root_ev.outcome_value + 1.0) / V_BUCKET_RANGE).astype(jnp.int32),
-                     0, NUM_V_BUCKETS - 1)].add(1),
+        n=tree.n.at[:, 0].set(jnp.where(reused, tree.n[:, 0], 1)),
+        w=tree.w.at[:, 0].set(
+            jnp.where(reused, tree.w[:, 0], root_ev.outcome_value)),
+        w_outcome=tree.w_outcome.at[:, 0].set(
+            jnp.where(reused, tree.w_outcome[:, 0], root_ev.outcome_value)),
+        score_sum=tree.score_sum.at[:, 0].set(
+            jnp.where(reused, tree.score_sum[:, 0], root_ev.score_est)),
+        v_categorical=tree.v_categorical.at[b, 0, bucket0].add(fresh),
     )
-    root_score_est = root_ev.score_est
+    root_score_est = jnp.where(reused, tree.init_score[:, 0],
+                               root_ev.score_est)
 
     # --- root candidates: logits + gumbel noise (gumbel.cc:287-306) ---
     legal0 = jax.vmap(legal_mask)(states)  # [B, 362]
@@ -351,13 +384,14 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         has_board_move = jnp.any(legal0[:, :PASS_MOVE], axis=-1)
         legal0 = legal0.at[:, PASS_MOVE].set(
             legal0[:, PASS_MOVE] & ~has_board_move)
-    masked_logp = jnp.where(legal0, root_ev.log_priors, _BIG_NEG)
+    root_log_priors = tree.log_priors[:, 0, :]
+    masked_logp = jnp.where(legal0, root_log_priors, _BIG_NEG)
     key, knoise = jax.random.split(key)
     gnoise = params.noise_scale * jax.random.gumbel(knoise, (B, NUM_MOVES))
     gnoise = jnp.where(legal0, gnoise, 0.0)
     base_score = masked_logp + gnoise
 
-    raw_nn_move = jnp.argmax(root_ev.log_priors, axis=-1).astype(jnp.int32)
+    raw_nn_move = jnp.argmax(root_log_priors, axis=-1).astype(jnp.int32)
 
     if n <= 1:
         # n == 1: play the raw-policy argmax (gumbel.cc:312-316).
@@ -724,7 +758,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                   pi_improved * (jnp.log(pi_improved + eps)
                                  - jnp.log(probs0 + eps)), 0.0), axis=-1)
 
-    return GumbelResult(
+    result = GumbelResult(
         mcts_move=mcts_move,
         raw_nn_move=raw_nn_move,
         pi_improved=pi_improved,
@@ -740,3 +774,6 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         root_value_dist=root_value_dist,
         root_child_q=q0,
     )
+    if init_tree is not None:
+        return result, tree
+    return result

@@ -56,6 +56,7 @@ class Tree(NamedTuple):
     evaluated: jnp.ndarray  # bool[B, N]
     next_free: jnp.ndarray  # int32[B] node allocation cursor
     v_categorical: jnp.ndarray  # int32[B, N, 51] outcome-value histogram
+    parent: jnp.ndarray  # int32[B, N] allocation parent (-1 for root)
 
 
 def make_tree(batch_size: int, max_nodes: int) -> Tree:
@@ -78,6 +79,7 @@ def make_tree(batch_size: int, max_nodes: int) -> Tree:
         evaluated=jnp.zeros((B, N), jnp.bool_),
         next_free=jnp.ones((B,), jnp.int32),  # slot 0 = root
         v_categorical=jnp.zeros((B, N, NUM_V_BUCKETS), jnp.int32),
+        parent=jnp.full((B, N), -1, jnp.int32),
     )
 
 
@@ -127,3 +129,80 @@ def child_visits(tree: Tree, node: jnp.ndarray,
     _, nvis = q_nvis_of_children(tree,
                                  node[:, None] if node.ndim == 1 else node)
     return nvis[:, 0] if node.ndim == 1 else nvis
+
+
+def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
+    """Extract the subtree under root's child `action` into a fresh tree.
+
+    Replaces NodeTable::Reap + tree reuse (node_table.h Reap, selfplay tree
+    reuse self_play_thread.cc:709-727): after a real move, the selected
+    child becomes the next search's root with its statistics intact.
+
+    Works in allocation order (children always have higher slot indices
+    than parents), so reachability is one sequential scan over node slots
+    and the copy is a one-hot selection — no serialized gathers. Boards
+    whose chosen action has no child get an empty (unevaluated) tree.
+    """
+    B, N = tree.n.shape
+    b = jnp.arange(B)
+    new_root = tree.children[b, jnp.zeros((B,), jnp.int32), action]  # [B]
+
+    # reachable[m] = (m == new_root) | reachable[parent[m]]
+    def scan_body(reach, m):
+        par = tree.parent[b, m]
+        par_reach = jnp.take_along_axis(
+            reach, jnp.clip(par, 0, N - 1)[:, None], axis=1)[:, 0]
+        r = (m == new_root) | (par_reach & (par >= 0))
+        reach = reach.at[:, m].set(r)
+        return reach, None
+
+    reach0 = jnp.zeros((B, N), jnp.bool_)
+    reachable, _ = jax.lax.scan(scan_body, reach0,
+                                jnp.arange(N, dtype=jnp.int32))
+
+    new_idx = jnp.where(reachable, jnp.cumsum(reachable, axis=1) - 1, -1)
+    num = jnp.sum(reachable, axis=1).astype(jnp.int32)
+
+    # One-hot selection matrix [B, capacity, N]: row r takes old slot m.
+    sel = jax.nn.one_hot(
+        jnp.where(reachable, new_idx, capacity), capacity,
+        dtype=jnp.float32, axis=-1).transpose(0, 2, 1)  # [B, cap, N]
+
+    def rows(arr):
+        if arr.ndim == 2:
+            out = jnp.einsum("bcm,bm->bc", sel, arr.astype(jnp.float32))
+        else:
+            out = jnp.einsum("bcm,bma->bca", sel, arr.astype(jnp.float32))
+        return out.astype(arr.dtype)
+
+    def remap_values(vals):
+        """Map old node indices -> new (or -1) via a fused select chain."""
+        out = jnp.full_like(vals, -1)
+        for m in range(N):
+            nm = new_idx[:, m]
+            nmb = nm.reshape((B,) + (1,) * (vals.ndim - 1))
+            out = jnp.where((vals == m) & (nmb >= 0), nmb, out)
+        return out
+
+    out = make_tree(B, capacity)
+    out = out._replace(
+        n=rows(tree.n),
+        w=rows(tree.w),
+        w_outcome=rows(tree.w_outcome),
+        score_sum=rows(tree.score_sum),
+        v_var_sum=rows(tree.v_var_sum),
+        init_util=rows(tree.init_util),
+        init_outcome=rows(tree.init_outcome),
+        init_score=rows(tree.init_score),
+        log_priors=rows(tree.log_priors),
+        children=remap_values(rows(tree.children)),
+        edge_n=rows(tree.edge_n),
+        edge_w=rows(tree.edge_w),
+        color=rows(tree.color),
+        is_terminal=rows(tree.is_terminal.astype(jnp.int32)).astype(jnp.bool_),
+        evaluated=rows(tree.evaluated.astype(jnp.int32)).astype(jnp.bool_),
+        next_free=jnp.maximum(num, 1),
+        v_categorical=rows(tree.v_categorical),
+        parent=remap_values(rows(tree.parent)),
+    )
+    return out

@@ -86,6 +86,15 @@ class GenerationLoop:
         self.key, kaux = jax.random.split(self.key)
         self.aux = make_aux(kaux, B, self.sp_cfg.max_raw_policy_moves)
         self.reuse = GoExploitBuffer(seed=seed)
+        from p3achygo_tpu.mcts.tree import make_tree
+        from p3achygo_tpu.rl.config import gumbel_params_for_gen as _gp
+
+        max_n = max(_gp(cfg, cfg.num_generations, True)[0],
+                    _gp(cfg, cfg.num_generations, False)[0],
+                    _gp(cfg, 0, True)[0])
+        self.reuse_capacity = max_n + 2 if self.sp_cfg.tree_reuse else 0
+        self.tree = (make_tree(B, self.reuse_capacity)
+                     if self.sp_cfg.tree_reuse else None)
         self.sgf_dir: Optional[str] = None
         self._sp_steps = None
         self._np_rng = np.random.default_rng(seed + 2)
@@ -103,10 +112,19 @@ class GenerationLoop:
             params = SearchParams(n=n, k=k, noise_scale=1.0, max_depth=24)
 
             def make(params=params, selected=selected):
-                @jax.jit
-                def sp_step(states, buf, aux, key):
-                    return selfplay_step(states, buf, aux, key, eval_fn,
-                                         params, cfg, selected_tier=selected)
+                if self.tree is not None:
+                    @jax.jit
+                    def sp_step(states, buf, aux, tree, key):
+                        return selfplay_step(
+                            states, buf, aux, key, eval_fn, params, cfg,
+                            selected_tier=selected, reuse_tree=tree,
+                            reuse_capacity=self.reuse_capacity)
+                else:
+                    @jax.jit
+                    def sp_step(states, buf, aux, key):
+                        return selfplay_step(states, buf, aux, key, eval_fn,
+                                             params, cfg,
+                                             selected_tier=selected)
                 return sp_step
 
             steps[selected] = make()
@@ -120,9 +138,14 @@ class GenerationLoop:
         while (self.replay.games_added - start_games) < num_games \
                 and plies < max_plies:
             selected = bool(self._np_rng.uniform() < 0.25)  # train-move prob
-            self.states, self.buf, self.aux, self.key = \
-                self._sp_steps[selected](self.states, self.buf, self.aux,
-                                         self.key)
+            if self.tree is not None:
+                (self.states, self.buf, self.aux, self.tree,
+                 self.key) = self._sp_steps[selected](
+                    self.states, self.buf, self.aux, self.tree, self.key)
+            else:
+                self.states, self.buf, self.aux, self.key = \
+                    self._sp_steps[selected](self.states, self.buf, self.aux,
+                                             self.key)
             plies += 1
             done = finished_mask(self.states, self.sp_cfg)
             if bool(jnp.any(done)):
@@ -168,10 +191,15 @@ class GenerationLoop:
         if p_reuse > 0 and len(self.reuse) > 0:
             init_states, use_init = self._build_reuse_batch(idx, p_reuse)
         self.key, kreset = jax.random.split(self.key)
-        self.states, self.buf, self.aux = reset_finished(
+        out = reset_finished(
             self.states, self.buf, self.aux, jnp.asarray(done),
             self.sp_cfg.komi, kreset, init_states, use_init,
-            max_raw_policy_moves=self.sp_cfg.max_raw_policy_moves)
+            max_raw_policy_moves=self.sp_cfg.max_raw_policy_moves,
+            reuse_tree=self.tree)
+        if self.tree is not None:
+            self.states, self.buf, self.aux, self.tree = out
+        else:
+            self.states, self.buf, self.aux = out
 
     def _build_reuse_batch(self, done_idx, p_reuse):
         """Assemble a per-board batch of reuse starting positions."""

@@ -71,6 +71,11 @@ class RLSlice:
         self.buf = make_game_buffer(B, cfg.selfplay.max_game_len)
         self.key, kaux = jax.random.split(self.key)
         self.aux = make_aux(kaux, B, cfg.selfplay.max_raw_policy_moves)
+        from p3achygo_tpu.mcts.tree import make_tree
+
+        self.reuse_capacity = cfg.search.n + 2 if cfg.selfplay.tree_reuse else 0
+        self.tree = (make_tree(B, self.reuse_capacity)
+                     if cfg.selfplay.tree_reuse else None)
         self._sp_step = None
         self._score_fn = jax.jit(final_scores)
 
@@ -82,10 +87,19 @@ class RLSlice:
         })
         cfg = self.cfg
 
-        @jax.jit
-        def sp_step(states, buf, aux, key):
-            return selfplay_step(states, buf, aux, key, eval_fn, cfg.search,
-                                 cfg.selfplay, selected_tier=True)
+        if self.tree is not None:
+            @jax.jit
+            def sp_step(states, buf, aux, tree, key):
+                return selfplay_step(states, buf, aux, key, eval_fn,
+                                     cfg.search, cfg.selfplay,
+                                     selected_tier=True, reuse_tree=tree,
+                                     reuse_capacity=self.reuse_capacity)
+        else:
+            @jax.jit
+            def sp_step(states, buf, aux, key):
+                return selfplay_step(states, buf, aux, key, eval_fn,
+                                     cfg.search, cfg.selfplay,
+                                     selected_tier=True)
 
         return sp_step
 
@@ -101,8 +115,13 @@ class RLSlice:
             self.refresh_weights()
         harvested = 0
         for _ in range(num_moves):
-            self.states, self.buf, self.aux, self.key = self._sp_step(
-                self.states, self.buf, self.aux, self.key)
+            if self.tree is not None:
+                (self.states, self.buf, self.aux, self.tree,
+                 self.key) = self._sp_step(self.states, self.buf, self.aux,
+                                           self.tree, self.key)
+            else:
+                self.states, self.buf, self.aux, self.key = self._sp_step(
+                    self.states, self.buf, self.aux, self.key)
             done = finished_mask(self.states, self.cfg.selfplay)
             if bool(jnp.any(done)):
                 harvested += self._harvest(np.asarray(done))
@@ -135,10 +154,15 @@ class RLSlice:
             if ex is not None:
                 self.replay.add_game(ex)
         self.key, kreset = jax.random.split(self.key)
-        self.states, self.buf, self.aux = reset_finished(
+        out = reset_finished(
             self.states, self.buf, self.aux, jnp.asarray(done),
             self.cfg.selfplay.komi, kreset,
-            max_raw_policy_moves=self.cfg.selfplay.max_raw_policy_moves)
+            max_raw_policy_moves=self.cfg.selfplay.max_raw_policy_moves,
+            reuse_tree=self.tree)
+        if self.tree is not None:
+            self.states, self.buf, self.aux, self.tree = out
+        else:
+            self.states, self.buf, self.aux = out
         return len(idx)
 
     def train_steps(self, num_steps: int, window: Optional[int] = None):

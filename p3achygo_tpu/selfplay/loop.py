@@ -62,6 +62,9 @@ class SelfplayConfig:
     disable_pass_initial_moves: int = 0
     # raw-policy opening cap (kMaxNumRawPolicyMoves, self_play_thread.cc:44)
     max_raw_policy_moves: int = 30
+    # tree reuse across moves (self_play_thread.cc:709-727 tree reuse+Reap);
+    # capacity of the carried subtree (>= largest tier's n + 2)
+    tree_reuse: bool = True
 
 
 class GameBuffer(NamedTuple):
@@ -124,8 +127,8 @@ DOWN_BAD_MOVES = 5  # kNumDownBadMovesThreshold
 
 def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
                   key: jax.Array, eval_fn: EvalFn, params: SearchParams,
-                  cfg: SelfplayConfig, selected_tier: bool
-                  ) -> Tuple[GoState, GameBuffer, SelfplayAux, jax.Array]:
+                  cfg: SelfplayConfig, selected_tier: bool,
+                  reuse_tree=None, reuse_capacity: int = 0):
     """One lockstep move for the whole batch.
 
     `selected_tier` (static) marks this step as a full-search step; only
@@ -139,7 +142,13 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     key, ksearch, kraw, ksel = jax.random.split(key, 4)
 
     tau = tau_schedule(states.move_count, cfg)
-    res = search_root(ksearch, states, eval_fn, params, tau=tau)
+    if reuse_tree is not None:
+        res, work_tree = search_root(ksearch, states, eval_fn, params,
+                                     tau=tau, init_tree=reuse_tree,
+                                     reuse_capacity=reuse_capacity)
+    else:
+        res = search_root(ksearch, states, eval_fn, params, tau=tau)
+        work_tree = None
 
     # Exact positional-superko guard on the sampled move (the in-tree mask
     # is the cheap one): violating moves fall back to the deterministic
@@ -204,6 +213,11 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
             jnp.reshape(active, (B,) + (1,) * (new.ndim - 1)), new, old),
         new_states, states)
     aux = SelfplayAux(raw_until=aux.raw_until, down_bad_count=down_bad_count)
+    if work_tree is not None:
+        from p3achygo_tpu.mcts.tree import compact_subtree
+
+        next_tree = compact_subtree(work_tree, move, reuse_capacity)
+        return states, buf, aux, next_tree, key
     return states, buf, aux, key
 
 
@@ -221,7 +235,7 @@ def reset_finished(states: GoState, buf: GameBuffer, aux: SelfplayAux,
                    init_states: Optional[GoState] = None,
                    use_init: Optional[jnp.ndarray] = None,
                    max_raw_policy_moves: int = 30,
-                   ) -> Tuple[GoState, GameBuffer, SelfplayAux]:
+                   reuse_tree=None):
     """Replace finished boards with fresh games (or GoExploit reuse starts)
     and clear their records.
 
@@ -258,4 +272,13 @@ def reset_finished(states: GoState, buf: GameBuffer, aux: SelfplayAux,
         raw_until=jnp.where(done, states.move_count + new_raw, aux.raw_until),
         down_bad_count=jnp.where(done, 0, aux.down_bad_count),
     )
+    if reuse_tree is not None:
+        from p3achygo_tpu.mcts.tree import make_tree
+
+        empty = make_tree(B, reuse_tree.n.shape[1])
+        reuse_tree = jax.tree_util.tree_map(
+            lambda e, t: jnp.where(
+                jnp.reshape(done, (B,) + (1,) * (t.ndim - 1)), e, t),
+            empty, reuse_tree)
+        return states, buf, aux, reuse_tree
     return states, buf, aux

@@ -1,0 +1,92 @@
+"""Tree reuse across moves: compaction correctness + reused-root search."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p3achygo_tpu.game import new_state, step
+from p3achygo_tpu.mcts import SearchParams, search_root, uniform_eval_fn
+from p3achygo_tpu.mcts.tree import compact_subtree, make_tree
+
+
+def batch_states(B):
+    return jax.vmap(lambda _: new_state())(jnp.arange(B))
+
+
+def _search_with_reuse(states, tree, params, key, cap):
+    res, work = search_root(key, states, uniform_eval_fn, params,
+                            init_tree=tree, reuse_capacity=cap)
+    return res, compact_subtree(work, res.mcts_move, cap)
+
+
+def test_reuse_roundtrip_preserves_child_stats():
+    B, cap = 2, 20
+    params = SearchParams(n=16, k=4, noise_scale=0.0, tau=0.0, max_depth=10)
+    states = batch_states(B)
+    tree0 = make_tree(B, cap)
+    res, next_tree = _search_with_reuse(states, tree0, params,
+                                        jax.random.PRNGKey(0), cap)
+    mv = np.asarray(res.mcts_move)
+    sel_n = np.asarray(res.root_child_visits)[np.arange(B), mv]
+    sel_q = np.asarray(res.root_child_q)[np.arange(B), mv]
+    # the compacted tree's root is the selected child with stats intact
+    assert (np.asarray(next_tree.evaluated)[:, 0] == (sel_n > 0)).all()
+    root_n = np.asarray(next_tree.n)[:, 0]
+    np.testing.assert_array_equal(root_n, sel_n)
+    root_v = np.asarray(next_tree.w)[:, 0] / np.maximum(root_n, 1)
+    np.testing.assert_allclose(-root_v, sel_q, atol=1e-5)
+    # parent of new root is -1; all children indices in range or -1
+    assert (np.asarray(next_tree.parent)[:, 0] == -1).all()
+    kids = np.asarray(next_tree.children)
+    assert kids.max() < cap and kids.min() >= -1
+
+    # second search starting from the reused tree
+    states2, statuses = jax.vmap(step)(states, res.mcts_move)
+    assert (np.asarray(statuses) == 0).all()
+    res2, next2 = _search_with_reuse(states2, next_tree, params,
+                                     jax.random.PRNGKey(1), cap)
+    assert (np.asarray(res2.visits) == 16).all()
+    # reused root keeps color of the new mover
+    assert (np.asarray(next_tree.color)[:, 0][
+        np.asarray(next_tree.evaluated)[:, 0]]
+        == np.asarray(states2.to_move)[np.asarray(next_tree.evaluated)[:, 0]]).all()
+
+
+def test_reuse_matches_fresh_when_tree_empty():
+    B, cap = 2, 20
+    params = SearchParams(n=8, k=4, noise_scale=0.5, tau=0.0, max_depth=8)
+    states = batch_states(B)
+    res_fresh = search_root(jax.random.PRNGKey(5), states, uniform_eval_fn,
+                            params)
+    res_reuse, _ = _search_with_reuse(states, make_tree(B, cap), params,
+                                      jax.random.PRNGKey(5), cap)
+    np.testing.assert_array_equal(np.asarray(res_fresh.mcts_move),
+                                  np.asarray(res_reuse.mcts_move))
+    np.testing.assert_allclose(np.asarray(res_fresh.pi_improved),
+                               np.asarray(res_reuse.pi_improved), atol=1e-5)
+
+
+def test_compact_subtree_manual():
+    # Tiny hand-built tree on 1 board: root 0 -> child 1 (action 5) -> 2
+    # (action 7); root -> 3 (action 9).
+    tree = make_tree(1, 8)
+    tree = tree._replace(
+        n=tree.n.at[0, :4].set(jnp.array([5, 3, 1, 1])),
+        w=tree.w.at[0, :4].set(jnp.array([1.0, 2.0, 3.0, 4.0])),
+        children=tree.children.at[0, 0, 5].set(1).at[0, 1, 7].set(2)
+        .at[0, 0, 9].set(3),
+        parent=tree.parent.at[0, 1].set(0).at[0, 2].set(1).at[0, 3].set(0),
+        evaluated=tree.evaluated.at[0, :4].set(True),
+        next_free=jnp.array([4], jnp.int32),
+    )
+    out = compact_subtree(tree, jnp.array([5], jnp.int32), 8)
+    # new root = old node 1; its child (old 2) -> new 1
+    assert int(out.n[0, 0]) == 3 and float(out.w[0, 0]) == 2.0
+    assert int(out.children[0, 0, 7]) == 1
+    assert int(out.n[0, 1]) == 1 and float(out.w[0, 1]) == 3.0
+    assert int(out.parent[0, 1]) == 0 and int(out.parent[0, 0]) == -1
+    assert int(out.next_free[0]) == 2
+    # old node 3 (other branch) dropped
+    assert int(out.evaluated[0].sum()) == 2
+    # unselected action: empty tree
+    out2 = compact_subtree(tree, jnp.array([11], jnp.int32), 8)
+    assert not bool(out2.evaluated[0, 0])
