@@ -56,11 +56,43 @@ class GameExamples:
 
 
 def _exp_weighted(values: np.ndarray, t: int, lam: float, horizon: int):
-    """(1/N) sum_i (-1)^i lam^i values[t+i], i = 0..horizon."""
+    """(1/N) sum_i (-1)^i lam^i values[t+i], i = 0..horizon (scalar ref)."""
     idx = np.arange(horizon + 1)
     w = lam ** idx
     sign = np.where(idx % 2 == 0, 1.0, -1.0)
     return float(np.sum(sign * w * values[t:t + horizon + 1]) / np.sum(w))
+
+
+def _exp_weighted_all(values: np.ndarray, lam: float,
+                      horizon: int | None) -> np.ndarray:
+    """Vectorized _exp_weighted for every t at once.
+
+    horizon None => to end of game (lambda=49/50 case): backward recursion
+    u_t = v_t + (-lam) * u_{t+1}; else truncated sliding correlation with
+    kernel (-lam)^i.
+    """
+    L = len(values)
+    if L == 0:
+        return np.zeros(0)
+    if horizon is None:
+        u = np.zeros(L)
+        acc = 0.0
+        for t in range(L - 1, -1, -1):
+            acc = values[t] - lam * acc
+            u[t] = acc
+        h = np.arange(L - 1, -1, -1)  # available horizon per t
+    else:
+        H = min(horizon, L - 1)
+        kern = (-lam) ** np.arange(H + 1)
+        u_full = np.convolve(values, kern[::-1], mode="full")[H:H + L]
+        # tail positions have fewer terms: recompute the ragged tail
+        u = u_full
+        for t in range(max(L - H, 0), L):
+            k = L - t
+            u[t] = np.sum(kern[:k] * values[t:])
+        h = np.minimum(horizon, L - 1 - np.arange(L))
+    norm = (1.0 - lam ** (h + 1)) / (1.0 - lam)
+    return u / norm
 
 
 def finalize_game(
@@ -121,27 +153,30 @@ def finalize_game(
                          else np.zeros((M, 51), np.uint16)),
     )
 
-    for j, t in enumerate(tr_idx):
-        color = int(to_move[t])
-        ex.z[j] = 1.0 if winner == color else -1.0
-        margin = (black_score - white_score) if color == BLACK \
-            else (white_score - black_score)
-        ex.score_margin[j] = margin
-        ex.own[j] = (ownership * color).astype(np.int8)
-        if t < L - 1:
-            ex.pi_aux[j] = move[t + 1]
-            ex.pi_aux_dist[j] = pi[t + 1]
-            ex.has_pi_aux_dist[j] = True
-        else:
-            ex.pi_aux[j] = PASS_MOVE
-        ex.q6[j] = _exp_weighted(vals, t, 5.0 / 6.0, min(6, L - t - 1))
-        ex.q16[j] = _exp_weighted(vals, t, 15.0 / 16.0, min(16, L - t - 1))
-        ex.q50[j] = _exp_weighted(vals, t, 49.0 / 50.0, L - t - 1)
-        ex.q6_score[j] = _exp_weighted(svals, t, 5.0 / 6.0, min(6, L - t - 1))
-        ex.q16_score[j] = _exp_weighted(svals, t, 15.0 / 16.0, min(16, L - t - 1))
-        ex.q50_score[j] = _exp_weighted(svals, t, 49.0 / 50.0, L - t - 1)
-        ex.weight[j] = 1.0 if avg_kld == 0.0 else \
-            0.5 + 0.5 * float(kld[t]) / avg_kld
+    colors = to_move[tr_idx].astype(np.int8)
+    ex.z[:] = np.where(colors == winner, 1.0, -1.0)
+    bm = black_score - white_score
+    ex.score_margin[:] = np.where(colors == BLACK, bm, -bm)
+    ex.own[:] = ownership[None, :].astype(np.int8) * colors[:, None]
+    has_next = tr_idx < L - 1
+    nxt = np.clip(tr_idx + 1, 0, L - 1)
+    ex.pi_aux[:] = np.where(has_next, move[nxt], PASS_MOVE).astype(np.int16)
+    ex.pi_aux_dist[:] = np.where(has_next[:, None], pi[nxt], 0.0)
+    ex.has_pi_aux_dist[:] = has_next
+    q6_all = _exp_weighted_all(vals, 5.0 / 6.0, 6)
+    q16_all = _exp_weighted_all(vals, 15.0 / 16.0, 16)
+    q50_all = _exp_weighted_all(vals, 49.0 / 50.0, None)
+    s6_all = _exp_weighted_all(svals, 5.0 / 6.0, 6)
+    s16_all = _exp_weighted_all(svals, 15.0 / 16.0, 16)
+    s50_all = _exp_weighted_all(svals, 49.0 / 50.0, None)
+    ex.q6[:] = q6_all[tr_idx]
+    ex.q16[:] = q16_all[tr_idx]
+    ex.q50[:] = q50_all[tr_idx]
+    ex.q6_score[:] = s6_all[tr_idx]
+    ex.q16_score[:] = s16_all[tr_idx]
+    ex.q50_score[:] = s50_all[tr_idx]
+    if avg_kld != 0.0:
+        ex.weight[:] = 0.5 + 0.5 * kld[tr_idx].astype(np.float64) / avg_kld
     return ex
 
 

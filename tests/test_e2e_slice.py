@@ -59,3 +59,19 @@ def test_td_targets_alternating_sign():
     assert abs(q - 0.5) < 1e-9
     # horizon 0: exactly the current value
     assert _exp_weighted(vals, 2, 5.0 / 6.0, 0) == 0.5
+
+
+def test_exp_weighted_all_matches_scalar():
+    from p3achygo_tpu.selfplay.records import _exp_weighted, _exp_weighted_all
+
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=37)
+    for lam, hor in ((5 / 6, 6), (15 / 16, 16)):
+        allv = _exp_weighted_all(vals, lam, hor)
+        for t in range(len(vals)):
+            ref = _exp_weighted(vals, t, lam, min(hor, len(vals) - t - 1))
+            assert abs(allv[t] - ref) < 1e-9, (lam, t)
+    allv = _exp_weighted_all(vals, 49 / 50, None)
+    for t in range(len(vals)):
+        ref = _exp_weighted(vals, t, 49 / 50, len(vals) - t - 1)
+        assert abs(allv[t] - ref) < 1e-9, t
