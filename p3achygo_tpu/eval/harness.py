@@ -141,3 +141,80 @@ def run_eval(key: jax.Array, eval_cand: EvalFn, eval_cur: EvalFn,
         elo_hi=hi,
         by_resign=int(jnp.sum(resigned)),
     )
+
+
+class EvalRunner:
+    """run_eval with model weights as TRACED jit arguments and the two
+    ply-parity step programs compiled once — repeated gating evals across
+    generations reuse the executables."""
+
+    def __init__(self, model, cfg: EvalConfig):
+        self.model = model
+        self.cfg = cfg
+        self._step_even = self._make_step(True)
+        self._step_odd = self._make_step(False)
+
+    def _make_step(self, cand_first: bool):
+        from p3achygo_tpu.mcts.gumbel import make_eval_fn
+
+        model, cfg = self.model, self.cfg
+
+        @jax.jit
+        def eval_step(states, key, resigned, winner, cand_v, cur_v):
+            fa = make_eval_fn(model, cand_v if cand_first else cur_v)
+            fb = make_eval_fn(model, cur_v if cand_first else cand_v)
+            fn = _half_eval_fn(fa, fb, True)
+            key, ks = jax.random.split(key)
+            res = search_root(ks, states, fn, cfg.search)
+            viol = jax.vmap(superko_violation)(states, res.mcts_move)
+            move = jnp.where(viol, PASS_MOVE, res.mcts_move)
+            over = jax.vmap(is_game_over)(states) | resigned
+            move = jnp.where(over, PASS_MOVE, move)
+            should_resign = (res.root_value < cfg.resign_threshold) & ~over
+            mover_color = states.to_move
+            new_resigned = resigned | should_resign
+            winner = jnp.where(should_resign & (winner == 0),
+                               (-mover_color).astype(jnp.int8), winner)
+            new_states, _ = jax.vmap(step)(states, move)
+            active = ~over & ~should_resign
+            Bn = states.stones.shape[0]
+            out_states = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(active, (Bn,) + (1,) * (new.ndim - 1)),
+                    new, old),
+                new_states, states)
+            return out_states, key, new_resigned, winner
+
+        return eval_step
+
+    def run(self, key: jax.Array, cand_vars, cur_vars) -> EvalResult:
+        cfg = self.cfg
+        B = cfg.num_games
+        assert B % 2 == 0
+        states = jax.vmap(lambda _: new_state(cfg.komi))(jnp.arange(B))
+        cand_is_black = jnp.arange(B) < B // 2
+        resigned = jnp.zeros((B,), jnp.bool_)
+        winner = jnp.zeros((B,), jnp.int8)
+        for t in range(cfg.max_game_len):
+            sfn = self._step_even if t % 2 == 0 else self._step_odd
+            states, key, resigned, winner = sfn(states, key, resigned,
+                                                winner, cand_vars, cur_vars)
+            done = (jax.vmap(is_game_over)(states) | resigned)
+            if bool(jnp.all(done)):
+                break
+
+        bs, ws, _ = jax.vmap(score_board)(states)
+        score_winner = jnp.where(bs > ws, BLACK, WHITE).astype(jnp.int8)
+        final_winner = jnp.where(winner != 0, winner, score_winner)
+        cand_color = jnp.where(cand_is_black, BLACK, WHITE).astype(jnp.int8)
+        cand_wins = float(jnp.sum(final_winner == cand_color))
+        elo, lo, hi = elo_with_ci(cand_wins, B)
+        return EvalResult(
+            cand_wins=cand_wins, num_games=B, winrate=cand_wins / B,
+            elo=elo, elo_lo=lo, elo_hi=hi, by_resign=int(jnp.sum(resigned)))
+
+
+def run_eval_params(key, model, cand_vars, cur_vars,
+                    cfg: EvalConfig) -> EvalResult:
+    """One-shot convenience wrapper over EvalRunner."""
+    return EvalRunner(model, cfg).run(key, cand_vars, cur_vars)

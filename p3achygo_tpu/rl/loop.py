@@ -24,7 +24,7 @@ import numpy as np
 
 from p3achygo_tpu.data.pipeline import prepare_batch
 from p3achygo_tpu.data.replay import ReplayBuffer
-from p3achygo_tpu.eval.harness import EvalConfig, run_eval
+from p3achygo_tpu.eval.harness import EvalConfig, EvalRunner
 from p3achygo_tpu.game.board import new_state
 from p3achygo_tpu.mcts.gumbel import SearchParams, make_eval_fn
 from p3achygo_tpu.models import LossCoeffs, build_model, get_config, init_params
@@ -103,8 +103,11 @@ class GenerationLoop:
     def _bind_selfplay(self):
         """Two jitted tiers: selected (full, trainable) vs fast
         (playout-cap randomization, self_play_thread.cc:527-611; the 25%
-        choice is a batch-global per-step flip here)."""
-        eval_fn = make_eval_fn(self.model, self.golden)
+        choice is a batch-global per-step flip here).
+
+        Golden weights are a TRACED argument so weight updates between
+        generations never retrace/recompile the selfplay programs.
+        """
         cfg = self.sp_cfg
         steps = {}
         for selected in (True, False):
@@ -114,14 +117,16 @@ class GenerationLoop:
             def make(params=params, selected=selected):
                 if self.tree is not None:
                     @jax.jit
-                    def sp_step(states, buf, aux, tree, key):
+                    def sp_step(states, buf, aux, tree, key, golden):
+                        eval_fn = make_eval_fn(self.model, golden)
                         return selfplay_step(
                             states, buf, aux, key, eval_fn, params, cfg,
                             selected_tier=selected, reuse_tree=tree,
                             reuse_capacity=self.reuse_capacity)
                 else:
                     @jax.jit
-                    def sp_step(states, buf, aux, key):
+                    def sp_step(states, buf, aux, key, golden):
+                        eval_fn = make_eval_fn(self.model, golden)
                         return selfplay_step(states, buf, aux, key, eval_fn,
                                              params, cfg,
                                              selected_tier=selected)
@@ -141,11 +146,12 @@ class GenerationLoop:
             if self.tree is not None:
                 (self.states, self.buf, self.aux, self.tree,
                  self.key) = self._sp_steps[selected](
-                    self.states, self.buf, self.aux, self.tree, self.key)
+                    self.states, self.buf, self.aux, self.tree, self.key,
+                    self.golden)
             else:
                 self.states, self.buf, self.aux, self.key = \
                     self._sp_steps[selected](self.states, self.buf, self.aux,
-                                             self.key)
+                                             self.key, self.golden)
             plies += 1
             done = finished_mask(self.states, self.sp_cfg)
             if bool(jnp.any(done)):
@@ -255,14 +261,15 @@ class GenerationLoop:
             else self.train_state.params
         cand = {"params": cand_params,
                 "batch_stats": self.train_state.batch_stats}
-        ev_cfg = EvalConfig(
-            num_games=self.cfg.eval_games,
-            max_game_len=self.cfg.eval_max_game_len,
-            search=SearchParams(n=self.cfg.eval_n, k=self.cfg.eval_k,
-                                noise_scale=0.0, tau=0.0))
+        if not hasattr(self, "_eval_runner"):
+            ev_cfg = EvalConfig(
+                num_games=self.cfg.eval_games,
+                max_game_len=self.cfg.eval_max_game_len,
+                search=SearchParams(n=self.cfg.eval_n, k=self.cfg.eval_k,
+                                    noise_scale=0.0, tau=0.0))
+            self._eval_runner = EvalRunner(self.model, ev_cfg)
         self.key, ke = jax.random.split(self.key)
-        res = run_eval(ke, make_eval_fn(self.model, cand),
-                       make_eval_fn(self.model, self.golden), ev_cfg)
+        res = self._eval_runner.run(ke, cand, self.golden)
         return res, cand
 
     def run_generation(self, eval_gating: bool = True) -> dict:
@@ -288,8 +295,13 @@ class GenerationLoop:
             self.golden = {"params": self.train_state.params,
                            "batch_stats": self.train_state.batch_stats}
 
+        old_nk = (gumbel_params_for_gen(self.cfg, self.gen, True),
+                  gumbel_params_for_gen(self.cfg, self.gen, False))
         self.gen += 1
-        self._sp_steps = None  # rebind to new golden + gen-scheduled n/k
+        new_nk = (gumbel_params_for_gen(self.cfg, self.gen, True),
+                  gumbel_params_for_gen(self.cfg, self.gen, False))
+        if new_nk != old_nk:
+            self._sp_steps = None  # n/k changed: rebind (weights are traced)
         save_checkpoint(self.root, self.gen, {
             "params": self.golden["params"],
             "batch_stats": self.golden["batch_stats"],
