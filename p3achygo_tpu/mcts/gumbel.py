@@ -42,7 +42,6 @@ from p3achygo_tpu.constants import (
     PASS_MOVE,
     SCORE_INFLECTION_POINT,
 )
-from p3achygo_tpu.features import features
 from p3achygo_tpu.game.board import (
     GoState,
     is_game_over,
@@ -129,11 +128,6 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
     on the outputs, nn_interface.cc:123-127 / nn_interface.h:262-289;
     hash-derived choice keeps eval purely functional in-graph).
     """
-    from p3achygo_tpu.game.symmetry import (
-        apply_inverse_policy,
-        apply_symmetry_grid,
-    )
-
     score_values = (jnp.arange(NUM_SCORE_LOGITS, dtype=jnp.float32)
                     - SCORE_INFLECTION_POINT + 0.5)
 
@@ -281,22 +275,6 @@ def _nonroot_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
     pi = jax.nn.softmax(logits_improved, axis=-1)
     disparity = pi - nvis.astype(jnp.float32) / (1.0 + sum_children)[:, None]
     return jnp.argmax(jnp.where(legal, disparity, _BIG_NEG), axis=-1).astype(jnp.int32)
-
-
-def _v_mixed_root(tree: Tree, probs0, q0, nvis0):
-    """VMixed at root (gumbel.cc:68-88)."""
-    b = jnp.arange(tree.n.shape[0])
-    visited = nvis0 > 0
-    sum_children = jnp.sum(nvis0, axis=-1).astype(jnp.float32)
-    visited_prob = jnp.sum(jnp.where(visited, probs0, 0.0), axis=-1)
-    weighted_q = jnp.sum(jnp.where(visited, probs0 * q0, 0.0), axis=-1)
-    init_util = tree.init_util[b, 0]
-    return jnp.where(
-        sum_children > 0,
-        (weighted_q * sum_children / jnp.maximum(visited_prob, 1e-10)
-         + init_util) / (1.0 + sum_children),
-        init_util,
-    )
 
 
 def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
