@@ -48,3 +48,44 @@ def test_sharded_batch_spmd_matches_single_device():
         out = jax.jit(lambda b, s: model.apply(
             variables, b, s, train=False).pi_logits)(board_s, scal_s)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4)
+
+
+def test_sharded_selfplay_step():
+    """Selfplay envs sharded over the data axis run SPMD (BASELINE north
+    star: boards sharded across chips)."""
+    import jax.numpy as jnp
+
+    from p3achygo_tpu.mcts.gumbel import SearchParams, uniform_eval_fn
+    from p3achygo_tpu.selfplay.loop import (
+        SelfplayConfig,
+        make_aux,
+        make_game_buffer,
+        selfplay_step,
+    )
+    from p3achygo_tpu.game import new_state
+
+    B = 16
+    mesh = make_mesh(8, model_parallel=1)
+    cfg = SelfplayConfig(batch_size=B, max_game_len=20, tree_reuse=False)
+    params = SearchParams(n=4, k=2, max_depth=6)
+    key = jax.random.PRNGKey(0)
+    key, kaux = jax.random.split(key)
+    states = jax.vmap(lambda _: new_state())(jnp.arange(B))
+    buf = make_game_buffer(B, cfg.max_game_len)
+    aux = make_aux(kaux, B, 0)
+
+    with mesh:
+        states = shard_batch(states, mesh)
+        buf = shard_batch(buf, mesh)
+        aux = shard_batch(aux, mesh)
+
+        @jax.jit
+        def sp(states, buf, aux, key):
+            return selfplay_step(states, buf, aux, key, uniform_eval_fn,
+                                 params, cfg, selected_tier=True)
+
+        for _ in range(2):
+            states, buf, aux, key = sp(states, buf, aux, key)
+    assert len(states.stones.sharding.device_set) == 8
+    mc = np.asarray(states.move_count)
+    assert (mc == 2).all()
