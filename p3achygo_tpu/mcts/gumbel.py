@@ -497,9 +497,15 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                                path_nodes)
         wp = jnp.where(allocated, alloc_parent, spare)
         wa = jnp.where(allocated, alloc_action, 0)
+        ln_routed = jnp.where(allocated, leaf_node, spare)
         tree = tree._replace(
             children=tree.children.at[bw, wp, wa].set(
                 jnp.where(allocated, leaf_node, tree.children[bw, wp, wa])),
+            parent=tree.parent.at[bw, ln_routed].set(
+                jnp.where(allocated, alloc_parent, tree.parent[bw, ln_routed])),
+            parent_action=tree.parent_action.at[bw, ln_routed].set(
+                jnp.where(allocated, alloc_action,
+                          tree.parent_action[bw, ln_routed])),
             next_free=tree.next_free + jnp.sum(na, axis=1),
         )
 

@@ -207,9 +207,15 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
                                path_nodes)
         wp = jnp.where(allocated, alloc_parent, spare)
         wa = jnp.where(allocated, alloc_action, 0)
+        ln_routed = jnp.where(allocated, leaf_node, spare)
         tree = tree._replace(
             children=tree.children.at[b, wp, wa].set(
                 jnp.where(allocated, leaf_node, tree.children[b, wp, wa])),
+            parent=tree.parent.at[b, ln_routed].set(
+                jnp.where(allocated, alloc_parent, tree.parent[b, ln_routed])),
+            parent_action=tree.parent_action.at[b, ln_routed].set(
+                jnp.where(allocated, alloc_action,
+                          tree.parent_action[b, ln_routed])),
             next_free=tree.next_free + allocated.astype(jnp.int32),
         )
 

@@ -57,6 +57,7 @@ class Tree(NamedTuple):
     next_free: jnp.ndarray  # int32[B] node allocation cursor
     v_categorical: jnp.ndarray  # int32[B, N, 51] outcome-value histogram
     parent: jnp.ndarray  # int32[B, N] allocation parent (-1 for root)
+    parent_action: jnp.ndarray  # int32[B, N] action from parent
 
 
 def make_tree(batch_size: int, max_nodes: int) -> Tree:
@@ -80,6 +81,7 @@ def make_tree(batch_size: int, max_nodes: int) -> Tree:
         next_free=jnp.ones((B,), jnp.int32),  # slot 0 = root
         v_categorical=jnp.zeros((B, N, NUM_V_BUCKETS), jnp.int32),
         parent=jnp.full((B, N), -1, jnp.int32),
+        parent_action=jnp.zeros((B, N), jnp.int32),
     )
 
 
@@ -140,8 +142,10 @@ def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
 
     Works in allocation order (children always have higher slot indices
     than parents), so reachability is one sequential scan over node slots
-    and the copy is a one-hot selection — no serialized gathers. Boards
-    whose chosen action has no child get an empty (unevaluated) tree.
+    and every copy is a one-hot contraction. The child table is REBUILT
+    from compacted (parent, action) pairs instead of value-remapping the
+    [B, N, 362] pointer array (which costs N passes over it). Boards whose
+    chosen action has no child get an empty (unevaluated) tree.
     """
     B, N = tree.n.shape
     b = jnp.arange(B)
@@ -175,14 +179,31 @@ def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
             out = jnp.einsum("bcm,bma->bca", sel, arr.astype(jnp.float32))
         return out.astype(arr.dtype)
 
-    def remap_values(vals):
-        """Map old node indices -> new (or -1) via a fused select chain."""
-        out = jnp.full_like(vals, -1)
-        for m in range(N):
-            nm = new_idx[:, m]
-            nmb = nm.reshape((B,) + (1,) * (vals.ndim - 1))
-            out = jnp.where((vals == m) & (nmb >= 0), nmb, out)
-        return out
+    # Parent remap over the small [B, cap] array (new root's parent -> -1).
+    parent_rows = rows(jnp.where(tree.parent < 0, N, tree.parent))
+    parent_new = jnp.full((B, capacity), -1, jnp.int32)
+    for m in range(N):
+        nm = new_idx[:, m][:, None]
+        parent_new = jnp.where((parent_rows == m) & (nm >= 0), nm, parent_new)
+    action_rows = rows(tree.parent_action)
+    compact_reach = rows(reachable.astype(jnp.int32)) > 0  # [B, cap]
+    # the new root (slot 0) has no parent
+    parent_new = parent_new.at[:, 0].set(-1)
+
+    # Rebuild children from (parent_new, action) of nodes 1..cap-1.
+    is_child = compact_reach & (jnp.arange(capacity)[None, :] > 0)
+    oh_p = jax.nn.one_hot(
+        jnp.where(is_child, parent_new, capacity), capacity,
+        dtype=jnp.float32)  # [B, cap(r), cap(p)]
+    oh_a = jax.nn.one_hot(
+        jnp.where(is_child, action_rows, NUM_MOVES), NUM_MOVES,
+        dtype=jnp.float32)  # [B, cap(r), 362]
+    r_ids = jnp.arange(capacity, dtype=jnp.float32)[None, :, None]
+    counts = jnp.einsum("brp,bra->bpa", oh_p, oh_a,
+                        preferred_element_type=jnp.float32)
+    vals = jnp.einsum("brp,bra->bpa", oh_p * r_ids, oh_a,
+                      preferred_element_type=jnp.float32)
+    children_new = jnp.where(counts > 0, vals, -1.0).astype(jnp.int32)
 
     out = make_tree(B, capacity)
     out = out._replace(
@@ -195,7 +216,7 @@ def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
         init_outcome=rows(tree.init_outcome),
         init_score=rows(tree.init_score),
         log_priors=rows(tree.log_priors),
-        children=remap_values(rows(tree.children)),
+        children=children_new,
         edge_n=rows(tree.edge_n),
         edge_w=rows(tree.edge_w),
         color=rows(tree.color),
@@ -203,6 +224,7 @@ def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
         evaluated=rows(tree.evaluated.astype(jnp.int32)).astype(jnp.bool_),
         next_free=jnp.maximum(num, 1),
         v_categorical=rows(tree.v_categorical),
-        parent=remap_values(rows(tree.parent)),
+        parent=parent_new,
+        parent_action=jnp.where(compact_reach, action_rows, 0),
     )
     return out

@@ -140,6 +140,8 @@ class GenerationLoop:
             self._bind_selfplay()
         start_games = self.replay.games_added
         plies = 0
+        last_harvest = 0
+        B = self.cfg.selfplay_batch_size
         while (self.replay.games_added - start_games) < num_games \
                 and plies < max_plies:
             selected = bool(self._np_rng.uniform() < 0.25)  # train-move prob
@@ -153,9 +155,18 @@ class GenerationLoop:
                     self._sp_steps[selected](self.states, self.buf, self.aux,
                                              self.key, self.golden)
             plies += 1
+            # Harvest in batches: scoring a finished game runs full Benson
+            # over the whole lockstep batch, so amortize it (finished
+            # boards stay frozen until reset).
             done = finished_mask(self.states, self.sp_cfg)
-            if bool(jnp.any(done)):
+            ndone = int(jnp.sum(done))
+            if ndone > 0 and (ndone >= max(B // 16, 1)
+                              or plies - last_harvest >= 16):
                 self._harvest(np.asarray(done))
+                last_harvest = plies
+        done = finished_mask(self.states, self.sp_cfg)
+        if bool(jnp.any(done)):
+            self._harvest(np.asarray(done))
         return self.replay.games_added - start_games
 
     def _harvest(self, done: np.ndarray):

@@ -38,6 +38,17 @@ def test_reuse_roundtrip_preserves_child_stats():
     assert (np.asarray(next_tree.parent)[:, 0] == -1).all()
     kids = np.asarray(next_tree.children)
     assert kids.max() < cap and kids.min() >= -1
+    # the subtree BELOW the new root survives: total nodes = selected
+    # child visits' tree size > 1 whenever the child was explored deeply
+    nf = np.asarray(next_tree.next_free)
+    assert (nf >= 1).all()
+    # children table consistent with parent pointers
+    for bi in range(kids.shape[0]):
+        for m in range(1, int(nf[bi])):
+            p = int(np.asarray(next_tree.parent)[bi, m])
+            a = int(np.asarray(next_tree.parent_action)[bi, m])
+            assert p >= 0
+            assert kids[bi, p, a] == m
 
     # second search starting from the reused tree
     states2, statuses = jax.vmap(step)(states, res.mcts_move)
@@ -75,6 +86,8 @@ def test_compact_subtree_manual():
         children=tree.children.at[0, 0, 5].set(1).at[0, 1, 7].set(2)
         .at[0, 0, 9].set(3),
         parent=tree.parent.at[0, 1].set(0).at[0, 2].set(1).at[0, 3].set(0),
+        parent_action=tree.parent_action.at[0, 1].set(5).at[0, 2].set(7)
+        .at[0, 3].set(9),
         evaluated=tree.evaluated.at[0, :4].set(True),
         next_free=jnp.array([4], jnp.int32),
     )
