@@ -73,6 +73,9 @@ class EvalOutput(NamedTuple):
     outcome_value: jnp.ndarray  # f32[B] E[win] - E[loss]
     score_est: jnp.ndarray  # f32[B] E[score]
     score_var: jnp.ndarray  # f32[B] Var[score]
+    # sqrt of the NN's short-horizon squared-error head (init_err_est =
+    # sqrt(err2_outcome) = sqrt(q6_err), leaf_evaluator.cc:109); None -> 0.
+    err_est: Optional[jnp.ndarray] = None  # f32[B]
 
 
 EvalFn = Callable[[GoState], EvalOutput]
@@ -165,6 +168,7 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
             outcome_value=value,
             score_est=score_est,
             score_var=jnp.maximum(score_sq - score_est**2, 0.0),
+            err_est=jnp.sqrt(jnp.maximum(out.q6_err, 0.0)),
         )
 
     return eval_fn
@@ -220,9 +224,13 @@ def _init_nodes(tree: Tree, node: jnp.ndarray, ev: EvalOutput,
     spare = tree.n.shape[1] - 1
     node = jnp.where(active, node, spare)
     sel = lambda new, old: jnp.where(active, new, old)
+    err = (ev.err_est if ev.err_est is not None
+           else jnp.zeros_like(ev.outcome_value))
     return tree._replace(
         log_priors=tree.log_priors.at[b, node].set(
             jnp.where(active[:, None], ev.log_priors, tree.log_priors[b, node])),
+        init_err=tree.init_err.at[b, node].set(
+            sel(err, tree.init_err[b, node])),
         init_outcome=tree.init_outcome.at[b, node].set(
             sel(ev.outcome_value, tree.init_outcome[b, node])),
         init_score=tree.init_score.at[b, node].set(
@@ -236,14 +244,11 @@ def _init_nodes(tree: Tree, node: jnp.ndarray, ev: EvalOutput,
     )
 
 
-def _nonroot_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
-                    c_visit: float, c_scale: float,
-                    bidx: jnp.ndarray = None) -> jnp.ndarray:
-    """Improved-policy-minus-visit-share argmax (gumbel.cc:214-237).
-
-    `node` is [W] with W = B * k (lanes b-major); row-indexed tree state is
-    read with one-hot contractions (TPU generic gathers serialize).
-    """
+def _improved_policy_flat(tree: Tree, node: jnp.ndarray,
+                          c_visit: float, c_scale: float,
+                          bidx: jnp.ndarray = None):
+    """Completed-Q improved policy of `node` (ComputeImprovedPolicy,
+    gumbel.cc:196-212). -> (pi [W, 362], nvis [W, 362], sum_children [W])."""
     b = jnp.arange(node.shape[0]) if bidx is None else bidx
     B = tree.n.shape[0]
     node_bk = node.reshape(B, -1)
@@ -273,8 +278,77 @@ def _nonroot_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
     completed = jnp.where(visited, q_norm, v_mix_norm[:, None])
     logits_improved = logp + ((c_visit + q_scale[:, None]) * c_scale) * completed
     pi = jax.nn.softmax(logits_improved, axis=-1)
+    return pi, nvis, sum_children
+
+
+def _nonroot_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
+                    c_visit: float, c_scale: float,
+                    bidx: jnp.ndarray = None) -> jnp.ndarray:
+    """Improved-policy-minus-visit-share argmax (gumbel.cc:214-237).
+
+    `node` is [W] with W = B * k (lanes b-major); row-indexed tree state is
+    read with one-hot contractions (TPU generic gathers serialize).
+    """
+    pi, nvis, sum_children = _improved_policy_flat(tree, node, c_visit,
+                                                   c_scale, bidx)
     disparity = pi - nvis.astype(jnp.float32) / (1.0 + sum_children)[:, None]
     return jnp.argmax(jnp.where(legal, disparity, _BIG_NEG), axis=-1).astype(jnp.int32)
+
+
+class RootPreStats(NamedTuple):
+    """Pre-search root statistics from a reused tree, feeding sel_mult and
+    the .stats pipeline (self_play_thread.cc:459-482)."""
+
+    n_pre: jnp.ndarray  # int32[B] root visits before this search
+    q_pre: jnp.ndarray  # f32[B] root mean utility (0 for fresh roots)
+    qz_pre: jnp.ndarray  # f32[B] root mean outcome value
+    std_pre: jnp.ndarray  # f32[B] sqrt(v_outcome_var), 0 when n_pre < 3
+    pre_kld: jnp.ndarray  # f32[B] KLD(improved-policy || prior), 0 if fresh
+    nn_q: jnp.ndarray  # f32[B] init_util_est (0 for unevaluated roots)
+    qz_nn: jnp.ndarray  # f32[B] init_outcome_est
+    nn_mcts_diff: jnp.ndarray  # f32[B] |qz_nn - q_pre|, 0 when n_pre == 0
+    q_canonical: jnp.ndarray  # f32[B] qz_pre, falling back to qz_nn
+    nn_uncertainty: jnp.ndarray  # f32[B] init_err_est (v_err)
+    prior_entropy: jnp.ndarray  # f32[B] H(prior)
+
+
+def root_pre_stats(tree: Tree, c_visit: float = 50.0,
+                   c_scale: float = 1.0) -> RootPreStats:
+    """Compute pre-search root stats on a (reused) tree.
+
+    Mirrors the pre-search block of the selfplay loop
+    (self_play_thread.cc:459-482): every signal is zero for fresh
+    (unevaluated / unvisited) roots, which makes the sel_mult modifier
+    collapse to 1 exactly as the reference's null guards do.
+    """
+    B = tree.n.shape[0]
+    root = jnp.zeros((B,), jnp.int32)
+    n_pre = tree.n[:, 0]
+    nf = jnp.maximum(n_pre, 1).astype(jnp.float32)
+    q_pre = jnp.where(n_pre > 0, tree.w[:, 0] / nf, 0.0)
+    qz_pre = jnp.where(n_pre > 0, tree.w_outcome[:, 0] / nf, 0.0)
+    var_pre = jnp.where(n_pre >= 3, tree.vz_var_sum[:, 0] / nf, 0.0)
+    pi_pre, _, _ = _improved_policy_flat(tree, root, c_visit, c_scale)
+    priors = jax.nn.softmax(tree.log_priors[:, 0, :], axis=-1)
+    eps = 1e-10
+    kld = jnp.sum(
+        jnp.where(pi_pre > 0,
+                  pi_pre * (jnp.log(pi_pre + eps) - jnp.log(priors + eps)),
+                  0.0), axis=-1)
+    pre_kld = jnp.where(n_pre >= 1, kld, 0.0)
+    nn_q = tree.init_util[:, 0]
+    qz_nn = tree.init_outcome[:, 0]
+    nn_mcts_diff = jnp.where(n_pre > 0, jnp.abs(qz_nn - q_pre), 0.0)
+    q_canonical = jnp.where(qz_pre == 0.0, qz_nn, qz_pre)
+    entropy = -jnp.sum(jnp.where(priors > 0,
+                                 priors * jnp.log(priors + eps), 0.0), axis=-1)
+    entropy = jnp.where(tree.evaluated[:, 0], entropy, 0.0)
+    return RootPreStats(
+        n_pre=n_pre, q_pre=q_pre, qz_pre=qz_pre,
+        std_pre=jnp.sqrt(jnp.maximum(var_pre, 0.0)),
+        pre_kld=pre_kld, nn_q=nn_q, qz_nn=qz_nn,
+        nn_mcts_diff=nn_mcts_diff, q_canonical=q_canonical,
+        nn_uncertainty=tree.init_err[:, 0], prior_entropy=entropy)
 
 
 def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
@@ -592,6 +666,13 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         w_new = tree.w[bD, node_s] + jnp.where(on_path, add_w, 0.0)
         v_new = w_new / jnp.maximum(n_new, 1)
         dvar = (q - v_old) * (q - v_new)
+        # Outcome-value Welford increment (v_outcome_var, gumbel.cc:802-806).
+        vz_old = jnp.where(n_old > 0,
+                           tree.w_outcome[bD, node_s] / jnp.maximum(n_old, 1),
+                           tree.init_outcome[bD, node_s])
+        wz_new = tree.w_outcome[bD, node_s] + jnp.where(on_path, add_wz, 0.0)
+        vz_new = wz_new / jnp.maximum(n_new, 1)
+        dvar_z = (qz - vz_old) * (qz - vz_new)
         bucket = jnp.clip(((qz + 1.0) / V_BUCKET_RANGE).astype(jnp.int32), 0,
                           NUM_V_BUCKETS - 1)
         nonleaf = on_path & ~is_leaf_slot
@@ -629,6 +710,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             w_outcome=tree.w_outcome + acc(add_wz, onp),
             score_sum=tree.score_sum + acc(add_sc, onp),
             v_var_sum=tree.v_var_sum + acc(dvar, nlf),
+            vz_var_sum=tree.vz_var_sum + acc(dvar_z, nlf),
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
             edge_n=tree.edge_n + edge(inc.astype(jnp.float32),
                                       onp).astype(jnp.int32),

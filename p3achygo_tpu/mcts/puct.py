@@ -292,6 +292,14 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
         w_new = tree.w[b[:, None], node_s] + jnp.where(on_path, add_w, 0.0)
         v_new = w_new / jnp.maximum(n_old + on_path, 1)
         dvar = (q - v_old) * (q - v_new)
+        vz_old = jnp.where(
+            n_old > 0,
+            tree.w_outcome[b[:, None], node_s] / jnp.maximum(n_old, 1),
+            tree.init_outcome[b[:, None], node_s])
+        wz_new = (tree.w_outcome[b[:, None], node_s]
+                  + jnp.where(on_path, add_wz, 0.0))
+        vz_new = wz_new / jnp.maximum(n_old + on_path, 1)
+        dvar_z = (qz - vz_old) * (qz - vz_new)
         bucket = jnp.clip(((qz + 1.0) / V_BUCKET_RANGE).astype(jnp.int32), 0,
                           NUM_V_BUCKETS - 1)
         nonleaf = on_path & ~is_leaf_slot
@@ -327,6 +335,7 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
                 jnp.where(root_inc, root_sign_v * leaf_qz, 0.0)),
             score_sum=tree.score_sum + acc(add_sc, onp),
             v_var_sum=tree.v_var_sum + acc(dvar, nlf),
+            vz_var_sum=tree.vz_var_sum + acc(dvar_z, nlf),
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
             edge_n=tree.edge_n + edge(onp, onp).astype(jnp.int32),
             edge_w=tree.edge_w + edge(add_w, onp),

@@ -44,9 +44,11 @@ class Tree(NamedTuple):
     w_outcome: jnp.ndarray  # f32[B, N] summed outcome value
     score_sum: jnp.ndarray  # f32[B, N] running mean * n of score est
     v_var_sum: jnp.ndarray  # f32[B, N] n * Var(v) (incremental, tree.h:810)
+    vz_var_sum: jnp.ndarray  # f32[B, N] n * Var(v_outcome) (tree.h:52)
     init_util: jnp.ndarray  # f32[B, N]
     init_outcome: jnp.ndarray  # f32[B, N]
     init_score: jnp.ndarray  # f32[B, N]
+    init_err: jnp.ndarray  # f32[B, N] NN uncertainty sqrt(err2), tree.h:55
     log_priors: jnp.ndarray  # f32[B, N, 362] log-softmax of NN policy
     children: jnp.ndarray  # int32[B, N, 362] node index or -1
     edge_n: jnp.ndarray  # int32[B, N, 362] per-edge visit count
@@ -68,9 +70,11 @@ def make_tree(batch_size: int, max_nodes: int) -> Tree:
         w_outcome=jnp.zeros((B, N), jnp.float32),
         score_sum=jnp.zeros((B, N), jnp.float32),
         v_var_sum=jnp.zeros((B, N), jnp.float32),
+        vz_var_sum=jnp.zeros((B, N), jnp.float32),
         init_util=jnp.zeros((B, N), jnp.float32),
         init_outcome=jnp.zeros((B, N), jnp.float32),
         init_score=jnp.zeros((B, N), jnp.float32),
+        init_err=jnp.zeros((B, N), jnp.float32),
         log_priors=jnp.zeros((B, N, NUM_MOVES), jnp.float32),
         children=jnp.full((B, N, NUM_MOVES), NO_CHILD, jnp.int32),
         edge_n=jnp.zeros((B, N, NUM_MOVES), jnp.int32),
@@ -212,9 +216,11 @@ def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
         w_outcome=rows(tree.w_outcome),
         score_sum=rows(tree.score_sum),
         v_var_sum=rows(tree.v_var_sum),
+        vz_var_sum=rows(tree.vz_var_sum),
         init_util=rows(tree.init_util),
         init_outcome=rows(tree.init_outcome),
         init_score=rows(tree.init_score),
+        init_err=rows(tree.init_err),
         log_priors=rows(tree.log_priors),
         children=children_new,
         edge_n=rows(tree.edge_n),

@@ -103,3 +103,54 @@ def test_compact_subtree_manual():
     # unselected action: empty tree
     out2 = compact_subtree(tree, jnp.array([11], jnp.int32), 8)
     assert not bool(out2.evaluated[0, 0])
+
+
+def test_root_pre_stats_on_reused_tree():
+    from p3achygo_tpu.mcts.gumbel import root_pre_stats
+
+    B, cap = 2, 24
+    params = SearchParams(n=8, k=4, noise_scale=0.5, tau=0.0, max_depth=8)
+    states = batch_states(B)
+    res, next_tree = _search_with_reuse(states, make_tree(B, cap), params,
+                                        jax.random.PRNGKey(3), cap)
+    states2 = jax.vmap(step)(states, res.mcts_move)[0]
+    pre = root_pre_stats(next_tree)
+    # The reused root carries the visits of the selected subtree.
+    assert np.all(np.asarray(pre.n_pre) >= 0)
+    reused = np.asarray(next_tree.evaluated[:, 0])
+    npre = np.asarray(pre.n_pre)
+    for i in range(B):
+        if reused[i] and npre[i] > 0:
+            assert abs(float(pre.q_pre[i])) <= 1.5
+            assert float(pre.pre_kld[i]) >= 0.0
+            assert np.isfinite(float(pre.std_pre[i]))
+    # Fresh (empty) tree: every signal is zero.
+    pre0 = root_pre_stats(make_tree(B, cap))
+    for field in ("q_pre", "qz_pre", "std_pre", "pre_kld", "nn_mcts_diff",
+                  "prior_entropy"):
+        np.testing.assert_allclose(np.asarray(getattr(pre0, field)), 0.0)
+
+
+def test_outcome_variance_tracked():
+    # vz_var_sum accumulates Welford increments during search.
+    B, cap = 1, 40
+    params = SearchParams(n=16, k=4, noise_scale=0.0, tau=0.0, max_depth=8)
+    states = batch_states(B)
+
+    def noisy_eval(states):
+        h = (states.hash[:, 0] % 17).astype(jnp.float32) / 17.0 - 0.5
+        ev = uniform_eval_fn(states)
+        return ev._replace(outcome_value=h)
+
+    _, tree = _search_with_reuse(states, make_tree(B, cap), params,
+                                 jax.random.PRNGKey(0), cap)
+    res = search_root(jax.random.PRNGKey(1), states, noisy_eval, params)
+    # direct (non-reuse) search: run again capturing the tree via reuse API
+    res2, tree2 = search_root(jax.random.PRNGKey(1), states, noisy_eval,
+                              params, init_tree=make_tree(B, cap),
+                              reuse_capacity=cap)
+    assert float(tree2.vz_var_sum[0, 0]) >= 0.0
+    n0 = int(tree2.n[0, 0])
+    if n0 >= 3:
+        var = float(tree2.vz_var_sum[0, 0]) / n0
+        assert 0.0 <= var <= 4.0
