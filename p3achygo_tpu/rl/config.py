@@ -52,8 +52,11 @@ class RunConfig:
     min_eval_n: int = 0
     eval_n_growth_window: int = 0
     use_seen_state_prob: float = 0.0
-    sel_mult_base: float = 1.0
-    sel_mult_scale_factor: float = 0.0
+    # sel_mult (config.py:54-55,112-113): base 0 disables; from gen 1 the
+    # loop overrides base with 1/sel_mult_mean of the previous generation's
+    # .stats (sp_loop.py:140-157).
+    sel_mult_base: float = 0.0
+    sel_mult_scale_factor: float = 1.0
     bias_cache_lambda: float = 0.0
     bias_cache_alpha: float = 0.0
     nonroot_var_scale_prior_visits: int = -1

@@ -38,8 +38,19 @@ from p3achygo_tpu.selfplay.loop import (
     reset_finished,
     selfplay_step,
 )
+from p3achygo_tpu.selfplay.move_sel import (
+    calibration_from_dict,
+    default_calibration,
+)
 from p3achygo_tpu.selfplay.records import finalize_game, game_to_sgf
 from p3achygo_tpu.selfplay.reuse import GoExploitBuffer, InitState
+from p3achygo_tpu.selfplay.stats import (
+    MoveStatsBatch,
+    compute_calibration,
+    compute_sel_mult_base,
+    write_calibration_file,
+    write_stats_file,
+)
 from p3achygo_tpu.train.checkpoint import save_checkpoint
 from p3achygo_tpu.train.optimizer import conv_muon, sgd_nesterov
 from p3achygo_tpu.train.step import create_train_state, make_train_step
@@ -78,8 +89,15 @@ class GenerationLoop:
         self.snapshots = SnapshotManager()
 
         B = cfg.selfplay_batch_size
-        self.sp_cfg = SelfplayConfig(batch_size=B,
-                                     max_game_len=cfg.selfplay_max_game_len)
+        self.sp_cfg = SelfplayConfig(
+            batch_size=B, max_game_len=cfg.selfplay_max_game_len,
+            sel_mult_scale_factor=cfg.sel_mult_scale_factor)
+        # sel_mult calibration (sp_loop.py:140-157): traced args of the
+        # selfplay step, refreshed per generation from .stats files.
+        self.calib = default_calibration()
+        self.sel_mult_base = jnp.float32(cfg.sel_mult_base)
+        self.stats_dir = os.path.join(root_dir, "stats")
+        self._move_stats: list = []
         self.states = jax.vmap(lambda _: new_state(self.sp_cfg.komi))(
             jnp.arange(B))
         self.buf = make_game_buffer(B, self.sp_cfg.max_game_len)
@@ -117,19 +135,24 @@ class GenerationLoop:
             def make(params=params, selected=selected):
                 if self.tree is not None:
                     @jax.jit
-                    def sp_step(states, buf, aux, tree, key, golden):
+                    def sp_step(states, buf, aux, tree, key, golden, calib,
+                                sel_base):
                         eval_fn = make_eval_fn(self.model, golden)
                         return selfplay_step(
                             states, buf, aux, key, eval_fn, params, cfg,
                             selected_tier=selected, reuse_tree=tree,
-                            reuse_capacity=self.reuse_capacity)
+                            reuse_capacity=self.reuse_capacity,
+                            calib=calib, sel_mult_base=sel_base)
                 else:
                     @jax.jit
-                    def sp_step(states, buf, aux, key, golden):
+                    def sp_step(states, buf, aux, key, golden, calib,
+                                sel_base):
                         eval_fn = make_eval_fn(self.model, golden)
                         return selfplay_step(states, buf, aux, key, eval_fn,
                                              params, cfg,
-                                             selected_tier=selected)
+                                             selected_tier=selected,
+                                             calib=calib,
+                                             sel_mult_base=sel_base)
                 return sp_step
 
             steps[selected] = make()
@@ -149,11 +172,12 @@ class GenerationLoop:
                 (self.states, self.buf, self.aux, self.tree,
                  self.key) = self._sp_steps[selected](
                     self.states, self.buf, self.aux, self.tree, self.key,
-                    self.golden)
+                    self.golden, self.calib, self.sel_mult_base)
             else:
                 self.states, self.buf, self.aux, self.key = \
                     self._sp_steps[selected](self.states, self.buf, self.aux,
-                                             self.key, self.golden)
+                                             self.key, self.golden,
+                                             self.calib, self.sel_mult_base)
             plies += 1
             # Harvest in batches: scoring a finished game runs full Benson
             # over the whole lockstep batch, so amortize it (finished
@@ -190,6 +214,22 @@ class GenerationLoop:
                 ownership=np.asarray(own[b]), komi=float(komi[b]))
             if ex is not None:
                 self.replay.add_game(ex)
+            # Per-move diagnostics for the .stats pipeline
+            # (tf_recorder.cc RecordGame move_stats accumulation).
+            self._move_stats.append(MoveStatsBatch(
+                sampled_raw_policy=buf_np.sampled_raw[b, :L],
+                nn_q=buf_np.nn_q[b, :L],
+                mcts_q=buf_np.mcts_q[b, :L],
+                nn_mcts_diff=buf_np.nn_mcts_diff[b, :L],
+                v_outcome_stddev=buf_np.v_stddev[b, :L],
+                prior_entropy=buf_np.prior_entropy[b, :L],
+                nn_uncertainty=buf_np.nn_uncertainty[b, :L],
+                kld=buf_np.kld[b, :L],
+                pre_kld=buf_np.pre_kld[b, :L],
+                sel_mult_modifier=buf_np.sel_mult_modifier[b, :L],
+                sel_mult_modifier_weight=buf_np.sel_weight[b, :L],
+                visit_count=buf_np.visits[b, :L].astype(np.float32),
+                visit_count_pre=buf_np.visit_count_pre[b, :L]))
             self.reuse.maybe_add_from_game(
                 buf_np.stones[b], buf_np.last_moves[b], buf_np.to_move[b], L)
             if self.sgf_dir:
@@ -283,11 +323,34 @@ class GenerationLoop:
         res = self._eval_runner.run(ke, cand, self.golden)
         return res, cand
 
+    def _flush_stats(self):
+        """Write this generation's .stats file and refresh the sel_mult
+        calibration for the next one (tf_recorder.cc:313-461 +
+        sp_loop.py:140-157)."""
+        if not self._move_stats:
+            return
+        os.makedirs(self.stats_dir, exist_ok=True)
+        stats = MoveStatsBatch.concatenate(self._move_stats)
+        self._move_stats = []
+        n = int(stats.nn_q.size)
+        ts = int(time.time())
+        name = f"gen{self.gen:03d}_b000_g000_n{n:05d}_t{ts}_w0.stats"
+        write_stats_file(os.path.join(self.stats_dir, name), stats)
+        calib = compute_calibration(self.stats_dir, self.gen)
+        if calib is not None:
+            write_calibration_file(
+                calib, os.path.join(self.root, "sel_mult_calib.txt"))
+            self.calib = calibration_from_dict(calib)
+            base = compute_sel_mult_base(calib)
+            if base is not None:
+                self.sel_mult_base = jnp.float32(base)
+
     def run_generation(self, eval_gating: bool = True) -> dict:
         t0 = time.time()
         games = self.cfg.games_first_gen if self.gen == 0 \
             else self.cfg.games_per_gen
         self.selfplay_games(games)
+        self._flush_stats()
         sp_t = time.time() - t0
 
         t0 = time.time()

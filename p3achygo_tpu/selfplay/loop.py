@@ -65,6 +65,10 @@ class SelfplayConfig:
     # tree reuse across moves (self_play_thread.cc:709-727 tree reuse+Reap);
     # capacity of the carried subtree (>= largest tier's n + 2)
     tree_reuse: bool = True
+    # sel_mult signal strength in [0, 1] (SPConfig.sel_mult_scale_factor,
+    # self_play_thread.h:47-49); the base multiplier itself is a traced
+    # argument of selfplay_step (per-generation calibration).
+    sel_mult_scale_factor: float = 1.0
 
 
 class GameBuffer(NamedTuple):
@@ -81,6 +85,19 @@ class GameBuffer(NamedTuple):
     trainable: jnp.ndarray  # bool[B, T]
     visits: jnp.ndarray  # int32[B, T]
     mcts_value_dist: jnp.ndarray  # int16[B, T, 51] root value histogram
+    # --- per-move search diagnostics (MoveSearchStats,
+    #     move_search_stats.h:16-33), harvested into .stats files ---
+    sampled_raw: jnp.ndarray  # bool[B, T]
+    nn_q: jnp.ndarray  # f32[B, T] root init_util_est
+    mcts_q: jnp.ndarray  # f32[B, T] pre-search root Q (tree reuse)
+    nn_mcts_diff: jnp.ndarray  # f32[B, T] |qz_nn - q_pre| pre-search
+    v_stddev: jnp.ndarray  # f32[B, T] pre-search sqrt(v_outcome_var)
+    prior_entropy: jnp.ndarray  # f32[B, T] H(root priors)
+    nn_uncertainty: jnp.ndarray  # f32[B, T] root init_err_est
+    pre_kld: jnp.ndarray  # f32[B, T] pre-search KLD(improved || prior)
+    sel_mult_modifier: jnp.ndarray  # f32[B, T]
+    sel_weight: jnp.ndarray  # f32[B, T] base-prob fraction (down-bad anneal)
+    visit_count_pre: jnp.ndarray  # f32[B, T]
 
 
 def make_game_buffer(B: int, T: int) -> GameBuffer:
@@ -96,6 +113,17 @@ def make_game_buffer(B: int, T: int) -> GameBuffer:
         trainable=jnp.zeros((B, T), jnp.bool_),
         visits=jnp.zeros((B, T), jnp.int32),
         mcts_value_dist=jnp.zeros((B, T, 51), jnp.int16),
+        sampled_raw=jnp.zeros((B, T), jnp.bool_),
+        nn_q=jnp.zeros((B, T), jnp.float32),
+        mcts_q=jnp.zeros((B, T), jnp.float32),
+        nn_mcts_diff=jnp.zeros((B, T), jnp.float32),
+        v_stddev=jnp.zeros((B, T), jnp.float32),
+        prior_entropy=jnp.zeros((B, T), jnp.float32),
+        nn_uncertainty=jnp.zeros((B, T), jnp.float32),
+        pre_kld=jnp.zeros((B, T), jnp.float32),
+        sel_mult_modifier=jnp.zeros((B, T), jnp.float32),
+        sel_weight=jnp.zeros((B, T), jnp.float32),
+        visit_count_pre=jnp.zeros((B, T), jnp.float32),
     )
 
 
@@ -128,7 +156,8 @@ DOWN_BAD_MOVES = 5  # kNumDownBadMovesThreshold
 def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
                   key: jax.Array, eval_fn: EvalFn, params: SearchParams,
                   cfg: SelfplayConfig, selected_tier: bool,
-                  reuse_tree=None, reuse_capacity: int = 0):
+                  reuse_tree=None, reuse_capacity: int = 0,
+                  calib=None, sel_mult_base=None):
     """One lockstep move for the whole batch.
 
     `selected_tier` (static) marks this step as a full-search step; only
@@ -136,10 +165,33 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     trainable records (kMoveSelectedForTrainingProb semantics applied as a
     batch-global tier flip by the caller + per-board annealing here,
     self_play_thread.cc:509-537).
+
+    `calib` (SelMultCalibration) and `sel_mult_base` (traced f32 scalar,
+    <= 0 disables) scale the training-selection probability by the
+    sel_mult modifier computed from pre-search signals of the reused tree
+    (self_play_thread.cc:473-499); both are traced so per-generation
+    calibration never recompiles this program.
     """
     B = states.stones.shape[0]
     b = jnp.arange(B)
     key, ksearch, kraw, ksel = jax.random.split(key, 4)
+
+    # Pre-search root stats from the reused tree (self_play_thread.cc:
+    # 459-482) — must be read BEFORE the search mutates the root.
+    from p3achygo_tpu.mcts.gumbel import RootPreStats, root_pre_stats
+    from p3achygo_tpu.selfplay.move_sel import (
+        compute_move_sel,
+        default_calibration,
+    )
+
+    if reuse_tree is not None:
+        pre = root_pre_stats(reuse_tree, params.c_visit, params.c_scale)
+    else:
+        z = jnp.zeros((B,), jnp.float32)
+        pre = RootPreStats(n_pre=jnp.zeros((B,), jnp.int32), q_pre=z,
+                           qz_pre=z, std_pre=z, pre_kld=z, nn_q=z, qz_nn=z,
+                           nn_mcts_diff=z, q_canonical=z, nn_uncertainty=z,
+                           prior_entropy=z)
 
     tau = tau_schedule(states.move_count, cfg)
     if reuse_tree is not None:
@@ -180,8 +232,22 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     is_down_bad = down_bad_count >= DOWN_BAD_MOVES
     coeff = jnp.clip((1.0 - jnp.abs(qz)) / (1.0 - DOWN_BAD_THRESHOLD), 0, 1)
     keep_prob = jnp.where(is_down_bad, coeff * coeff, 1.0)
+
+    # sel_mult: scale the selection probability by pre-search signals
+    # (self_play_thread.cc:473-499); raw-policy moves always use 1.
+    if calib is None:
+        calib = default_calibration()
+    sel = compute_move_sel(pre.n_pre, pre.std_pre, pre.pre_kld,
+                           pre.nn_mcts_diff, pre.q_canonical,
+                           cfg.sel_mult_scale_factor, calib)
+    sel_modifier = jnp.where(sampling_raw, 1.0, sel.modifier)
+    if sel_mult_base is None:
+        sel_mult = jnp.ones((B,), jnp.float32)
+    else:
+        base = jnp.asarray(sel_mult_base, jnp.float32)
+        sel_mult = jnp.where(base > 0, base * sel_modifier, 1.0)
     trainable = (jnp.bool_(selected_tier) & ~sampling_raw
-                 & (jax.random.uniform(ksel, (B,)) < keep_prob))
+                 & (jax.random.uniform(ksel, (B,)) < keep_prob * sel_mult))
 
     over = jax.vmap(is_game_over)(states)
     move = jnp.where(over, PASS_MOVE, move)
@@ -204,6 +270,29 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
         mcts_value_dist=wr(buf.mcts_value_dist, res.root_value_dist),
         trainable=buf.trainable.at[b, t].set(
             jnp.where(active, trainable, buf.trainable[b, t])),
+        # MoveSearchStats diagnostics (self_play_thread.cc:646-668):
+        # nn_q / nn_uncertainty from the post-search root (init fields are
+        # written by this search for fresh roots); pre-search signals from
+        # the reused tree.
+        sampled_raw=buf.sampled_raw.at[b, t].set(
+            jnp.where(active, sampling_raw, buf.sampled_raw[b, t])),
+        nn_q=wr(buf.nn_q, work_tree.init_util[:, 0]
+                if work_tree is not None else pre.nn_q),
+        mcts_q=wr(buf.mcts_q, pre.q_pre),
+        nn_mcts_diff=wr(buf.nn_mcts_diff, pre.nn_mcts_diff),
+        v_stddev=wr(buf.v_stddev, pre.std_pre),
+        prior_entropy=wr(buf.prior_entropy, -jnp.sum(
+            jnp.where(res.root_priors > 0,
+                      res.root_priors * jnp.log(res.root_priors + 1e-10),
+                      0.0), axis=-1)),
+        nn_uncertainty=wr(buf.nn_uncertainty,
+                          work_tree.init_err[:, 0]
+                          if work_tree is not None else pre.nn_uncertainty),
+        pre_kld=wr(buf.pre_kld, pre.pre_kld),
+        sel_mult_modifier=wr(buf.sel_mult_modifier, sel_modifier),
+        sel_weight=wr(buf.sel_weight, keep_prob),
+        visit_count_pre=wr(buf.visit_count_pre,
+                           pre.n_pre.astype(jnp.float32)),
     )
 
     new_states, _ = jax.vmap(step)(states, move)
