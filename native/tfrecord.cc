@@ -135,15 +135,28 @@ struct TfrecReader {
   size_t pos = 0;
 };
 
-// Open a file (auto-detects zlib by header byte 0x78). Returns handle or 0.
+// Full 2-byte zlib header check: CMF must be 0x78, (CMF<<8|FLG) % 31 == 0
+// per the zlib spec, and FLG one of the standard level bytes. A bare
+// first-byte check misdetects ~1/256 uncompressed files (any whose first
+// record length ends in 0x78).
+static bool LooksZlib(const std::string& raw) {
+  if (raw.size() < 2) return false;
+  const uint8_t b0 = static_cast<uint8_t>(raw[0]);
+  const uint8_t b1 = static_cast<uint8_t>(raw[1]);
+  if (b0 != 0x78) return false;
+  if (((static_cast<uint32_t>(b0) << 8) | b1) % 31 != 0) return false;
+  return b1 == 0x01 || b1 == 0x5E || b1 == 0x9C || b1 == 0xDA;
+}
+
+// Open a file (auto-detects zlib by its 2-byte header). Returns handle or 0.
 void* tfrec_open(const char* path) {
   std::string raw;
   if (!ReadFile(path, &raw)) return nullptr;
   auto* r = new TfrecReader();
-  if (raw.size() >= 2 && static_cast<uint8_t>(raw[0]) == 0x78) {
+  if (LooksZlib(raw)) {
     if (!ZlibInflate(raw, &r->data)) {
-      delete r;
-      return nullptr;
+      // Header looked like zlib but inflate failed: treat as raw framing.
+      r->data = std::move(raw);
     }
   } else {
     r->data = std::move(raw);

@@ -68,6 +68,15 @@ class ReplayBuffer:
         self.total_added += n
         self.games_added += 1
 
+    def training_window(self) -> int:
+        """KataGo-style window growth over total examples generated
+        (shuffle_metadata.py:9-26: c*(1 + beta*((n/c)^alpha - 1)/alpha),
+        alpha=.75 beta=.5 c=250k, floor 100k)."""
+        alpha, beta, c, min_window = 0.75, 0.5, 250000, 100000
+        n = max(self.total_added, 1)
+        mult = beta * ((n / c) ** alpha - 1.0) / alpha + 1.0
+        return int(max(min_window, mult * c))
+
     def sample(self, batch_size: int,
                window: Optional[int] = None) -> Dict[str, np.ndarray]:
         """Weighted sample from the most recent `window` examples."""

@@ -98,8 +98,18 @@ def _py_write(path: str, records: List[bytes], zlib_level: Optional[int]):
 def _py_read(path: str) -> Iterator[bytes]:
     with open(path, "rb") as f:
         blob = f.read()
-    if blob[:1] == b"\x78":
-        blob = zlib.decompress(blob)
+    # Zlib detection needs the full 2-byte header check: an UNCOMPRESSED
+    # file whose first record length ends in 0x78 would otherwise be
+    # misread (the zlib spec requires (CMF<<8|FLG) % 31 == 0 and FLG one
+    # of the standard compression levels). Fall back to raw parsing if
+    # inflate fails anyway.
+    if (len(blob) >= 2 and blob[0] == 0x78
+            and ((blob[0] << 8) | blob[1]) % 31 == 0
+            and blob[1] in (0x01, 0x5E, 0x9C, 0xDA)):
+        try:
+            blob = zlib.decompress(blob)
+        except zlib.error:
+            pass
     pos = 0
     while pos < len(blob):
         (length,) = struct.unpack_from("<Q", blob, pos)

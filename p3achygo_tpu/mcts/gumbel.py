@@ -446,10 +446,17 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
     raw_nn_move = jnp.argmax(root_log_priors, axis=-1).astype(jnp.int32)
 
     if n <= 1:
-        # n == 1: play the raw-policy argmax (gumbel.cc:312-316).
+        # n == 1: play the gumbel-top LEGAL move (the reference returns
+        # gmove_info[0].move_loc, the max of masked logit + noise,
+        # gumbel.cc:312-316) — NOT the unmasked raw-policy argmax, which
+        # can be an occupied point.
         pi = jax.nn.softmax(masked_logp, axis=-1)
-        return GumbelResult(
-            mcts_move=raw_nn_move,
+        board_over1 = jax.vmap(is_game_over)(states)
+        top_legal = jnp.argmax(base_score, axis=-1).astype(jnp.int32)
+        any_legal = jnp.any(legal0, axis=-1)
+        mcts_move1 = jnp.where(any_legal & ~board_over1, top_legal, PASS_MOVE)
+        result = GumbelResult(
+            mcts_move=mcts_move1,
             raw_nn_move=raw_nn_move,
             pi_improved=pi,
             root_value=root_ev.outcome_value,
@@ -464,6 +471,10 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             root_value_dist=jnp.zeros((B, NUM_V_BUCKETS), jnp.int32),
             root_child_q=jnp.full((B, NUM_MOVES), MIN_Q),
         )
+        # Callers passing init_tree expect a (result, working_tree) tuple.
+        if init_tree is not None:
+            return result, tree
+        return result
 
     _, cand_actions = jax.lax.top_k(base_score, k)  # [B, k] desc
     cand_actions = cand_actions.astype(jnp.int32)
@@ -808,9 +819,17 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                    tree.w_outcome[b, sel_child_s]
                    / jnp.maximum(tree.n[b, sel_child_s], 1), -1.0),
         -1.0)
-    total = 1.0 + sel_n.astype(jnp.float32)
-    root_value = (root_ev.outcome_value + sel_n * sel_q) / total
-    root_outcome = (root_ev.outcome_value + sel_n * sel_qz) / total
+    # Reference ratios (gumbel.cc:519-524): the pre-search root value is
+    # weighted by the root's accumulated visit count root->n — 1 for fresh
+    # roots, the carried count for reused trees (tree reuse default ON) —
+    # so carried-over search statistics keep their weight in the recorded
+    # root_q_outcome (basis of the q6/q16/q50 TD targets).
+    n_root = jnp.maximum(tree.n[:, 0], 1).astype(jnp.float32)
+    v_pre = tree.w[:, 0] / n_root
+    vz_pre = tree.w_outcome[:, 0] / n_root
+    total = n_root + sel_n.astype(jnp.float32)
+    root_value = (n_root * v_pre + sel_n * sel_q) / total
+    root_outcome = (n_root * vz_pre + sel_n * sel_qz) / total
 
     # Root value-histogram stitching: fold in the selected child's buckets
     # mirrored (sign flip), gumbel.cc:543-551.

@@ -228,7 +228,12 @@ def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
         color=rows(tree.color),
         is_terminal=rows(tree.is_terminal.astype(jnp.int32)).astype(jnp.bool_),
         evaluated=rows(tree.evaluated.astype(jnp.int32)).astype(jnp.bool_),
-        next_free=jnp.maximum(num, 1),
+        # Clamp to capacity: when the reachable subtree exceeds `capacity`
+        # (deep reused lines), nodes past capacity are dropped by the
+        # one-hot above, and the allocation cursor must not point past the
+        # array or subsequent searches would scatter out of bounds /
+        # corrupt the spare slot.
+        next_free=jnp.clip(num, 1, capacity),
         v_categorical=rows(tree.v_categorical),
         parent=parent_new,
         parent_action=jnp.where(compact_reach, action_rows, 0),

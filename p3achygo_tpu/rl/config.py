@@ -68,6 +68,15 @@ class RunConfig:
     eval_max_game_len: int = 600
     selfplay_max_game_len: int = 600
     replay_capacity: int = 1 << 20
+    # BN running-stat refresh after SWA averaging, before gating eval
+    # (model_utils.py:42-116 recompute_bn_statistics, reference default
+    # 150 batches; 0 disables).
+    bn_recompute_passes: int = 64
+    # Held-out validation split: fraction of finished games routed to a
+    # val replay instead of the training replay (reference: dual
+    # validation per gen, rl_loop/train.py:183-198), and batches/gen.
+    val_game_frac: float = 0.02
+    val_batches: int = 8
 
 
 def gumbel_params_for_gen(cfg: RunConfig, gen: int,

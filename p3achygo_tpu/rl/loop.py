@@ -52,9 +52,16 @@ from p3achygo_tpu.selfplay.stats import (
     write_stats_file,
 )
 from p3achygo_tpu.train.checkpoint import save_checkpoint
+from p3achygo_tpu.train.lr_schedule import lr_for_gen
 from p3achygo_tpu.train.optimizer import conv_muon, sgd_nesterov
 from p3achygo_tpu.train.step import create_train_state, make_train_step
-from p3achygo_tpu.train.swa import SnapshotManager, swa_average
+from p3achygo_tpu.train.swa import (
+    SnapshotManager,
+    make_bn_fwd,
+    recompute_batch_stats,
+    swa_average,
+)
+from p3achygo_tpu.train.val import batch_metrics
 
 
 class GenerationLoop:
@@ -66,21 +73,46 @@ class GenerationLoop:
         self.model = build_model(get_config(cfg.model_config), dtype=dtype)
         self.variables = init_params(self.model, jax.random.PRNGKey(seed))
         self.replay = ReplayBuffer(capacity=cfg.replay_capacity, seed=seed)
+        # Held-out split for per-gen validation (dual validation,
+        # rl_loop/train.py:183-198): val_game_frac of finished games land
+        # here instead of the training replay.
+        self.val_replay = ReplayBuffer(capacity=1 << 16, seed=seed + 3)
         self.key = jax.random.PRNGKey(seed + 1)
 
+        # LR is injected as an opt_state hyperparameter so the per-gen
+        # schedule (rl_loop/train.py:33-49) updates it without recompiling
+        # the train step or resetting momentum.
+        import optax
+
+        lr0 = lr_for_gen(cfg, 0)
         if cfg.optimizer == "muon":
-            tx = conv_muon(cfg.lr, weight_decay=cfg.muon_wd,
-                           wd_lr_exponent=cfg.wd_lr_exponent,
-                           wd_lr_max=cfg.wd_lr_max,
-                           adam_weight_decay=cfg.adam_wd)
+            tx = optax.inject_hyperparams(
+                conv_muon, static_args=("nesterov", "ns_steps"))(
+                learning_rate=lr0, weight_decay=cfg.muon_wd,
+                wd_lr_exponent=cfg.wd_lr_exponent,
+                wd_lr_max=cfg.wd_lr_max,
+                adam_weight_decay=cfg.adam_wd)
         else:
-            tx = sgd_nesterov(cfg.lr)
+            tx = optax.inject_hyperparams(sgd_nesterov)(learning_rate=lr0)
         self.tx = tx
         self.train_state = create_train_state(self.variables, tx)
         self._train_step = jax.jit(
             make_train_step(self.model, tx, LossCoeffs.rl()))
         self._prepare = jax.jit(partial(prepare_batch, augment=True))
+        self._prepare_val = jax.jit(partial(prepare_batch, augment=False))
         self._score_fn = jax.jit(final_scores)
+        self._bn_fwd = make_bn_fwd(self.model)
+
+        @jax.jit
+        def _val_fn(variables, planes, scalars, targets):
+            from p3achygo_tpu.models.losses import compute_losses
+
+            outputs = self.model.apply(variables, planes, scalars,
+                                       train=False)
+            losses = compute_losses(outputs, targets, LossCoeffs.rl())
+            return {**losses, **batch_metrics(outputs, targets)}
+
+        self._val_fn = _val_fn
 
         # Golden weights drive selfplay + are the eval incumbent.
         self.golden = {"params": self.train_state.params,
@@ -213,7 +245,11 @@ class GenerationLoop:
                 black_score=float(bs[b]), white_score=float(ws[b]),
                 ownership=np.asarray(own[b]), komi=float(komi[b]))
             if ex is not None:
-                self.replay.add_game(ex)
+                if (self.cfg.val_game_frac > 0
+                        and self._np_rng.uniform() < self.cfg.val_game_frac):
+                    self.val_replay.add_game(ex)
+                else:
+                    self.replay.add_game(ex)
             # Per-move diagnostics for the .stats pipeline
             # (tf_recorder.cc RecordGame move_stats accumulation).
             self._move_stats.append(MoveStatsBatch(
@@ -294,6 +330,10 @@ class GenerationLoop:
                     window: Optional[int] = None):
         steps = num_steps or max(len(self.replay) // self.cfg.train_batch_size,
                                  1)
+        if window is None:
+            # KataGo-style train_window_size growth (shuffle.py:175-186 +
+            # shuffle_metadata.py:9-26): stale early generations age out.
+            window = self.replay.training_window()
         losses = {}
         for _ in range(steps):
             batch = self.replay.sample(self.cfg.train_batch_size, window)
@@ -306,12 +346,49 @@ class GenerationLoop:
                                           self.train_state.params)
         return {k: float(v) for k, v in losses.items()}
 
+    def _bn_batches(self, num_passes: int):
+        """(planes, scalars) batches for the BN refresh, drawn from the
+        training window."""
+        window = self.replay.training_window()
+        for _ in range(num_passes):
+            batch = self.replay.sample(self.cfg.train_batch_size, window)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.key, kp = jax.random.split(self.key)
+            planes, scalars, _ = self._prepare(kp, batch)
+            yield planes, scalars
+
+    def validate(self, num_batches: Optional[int] = None) -> dict:
+        """Held-out losses + accuracy metrics (train.py:1038 val)."""
+        num_batches = num_batches or self.cfg.val_batches
+        if len(self.val_replay) == 0 or num_batches <= 0:
+            return {}
+        variables = {"params": self.train_state.params,
+                     "batch_stats": self.train_state.batch_stats}
+        totals: dict = {}
+        for _ in range(num_batches):
+            batch = self.val_replay.sample(self.cfg.train_batch_size)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.key, kp = jax.random.split(self.key)
+            planes, scalars, targets = self._prepare_val(kp, batch)
+            out = self._val_fn(variables, planes, scalars, targets)
+            for key, val in out.items():
+                totals[key] = totals.get(key, 0.0) + float(val)
+        return {f"val_{k}": v / num_batches for k, v in totals.items()}
+
     # ---------------- eval + promotion ----------------
     def evaluate_candidate(self, swa: bool = True):
         cand_params = self.snapshots.final(self.train_state.params) if swa \
             else self.train_state.params
-        cand = {"params": cand_params,
-                "batch_stats": self.train_state.batch_stats}
+        cand_bs = self.train_state.batch_stats
+        # SWA-averaged weights shift activation statistics: refresh the BN
+        # running stats with forward passes before gating
+        # (model_utils.py:42-116 recompute_bn_statistics).
+        passes = self.cfg.bn_recompute_passes
+        if swa and passes > 0 and len(self.replay) > 0 and cand_bs:
+            cand_bs = recompute_batch_stats(
+                self.model, cand_params, cand_bs, self._bn_batches(passes),
+                num_passes=passes, fwd_fn=self._bn_fwd)
+        cand = {"params": cand_params, "batch_stats": cand_bs}
         if not hasattr(self, "_eval_runner"):
             ev_cfg = EvalConfig(
                 num_games=self.cfg.eval_games,
@@ -354,7 +431,14 @@ class GenerationLoop:
         sp_t = time.time() - t0
 
         t0 = time.time()
+        # Per-generation LR (get_lr, rl_loop/train.py:33-49), injected into
+        # the opt_state hyperparams — no recompile, momentum preserved.
+        lr = lr_for_gen(self.cfg, self.gen)
+        self.train_state.opt_state.hyperparams["learning_rate"] = \
+            jnp.asarray(lr, jnp.float32)
         losses = self.train_epoch()
+        losses["lr"] = lr
+        losses.update(self.validate())
         train_t = time.time() - t0
 
         promoted = True

@@ -43,6 +43,34 @@ def cyclic_lr_decay(min_lr: float, max_lr: float, cycle_len: int,
     return fn
 
 
+def lr_for_gen(config, model_gen: int) -> float:
+    """Per-generation LR (rl_loop/train.py:33-49 get_lr): 0.1 -> 1.0 scale
+    over `lr_growth_window` generations, base LR from the piecewise
+    `lr_schedule` [(gen, lr), ...] with a half-cosine transition toward the
+    next scheduled LR over the last `lr_transition_window` generations."""
+    import math
+
+    if getattr(config, "lr_growth_window", 0) > 0:
+        lr_scale = 0.1 + 0.9 * min(1.0, model_gen / config.lr_growth_window)
+    else:
+        lr_scale = 1.0
+
+    lr = config.lr
+    next_gen, next_lr = None, None
+    for gen, gen_lr in (config.lr_schedule or []):
+        if gen > model_gen:
+            next_gen, next_lr = gen, gen_lr
+            break
+        lr = gen_lr
+
+    window = getattr(config, "lr_transition_window", 0)
+    if window > 0 and next_gen is not None and (next_gen - model_gen) <= window:
+        t = 0.5 * (1.0 - math.cos(
+            math.pi * (1.0 - (next_gen - model_gen) / window)))
+        lr = lr + t * (next_lr - lr)
+    return lr_scale * lr
+
+
 def gen_growth_scale(gen: int, growth_gens: int = 10,
                      transition_gens: int = 10) -> float:
     """Per-generation LR warm-up: 0.1 -> 1.0 over `growth_gens`, cosine

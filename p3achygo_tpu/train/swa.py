@@ -40,25 +40,37 @@ class SnapshotManager:
             self.avg, params, self.momentum)
 
 
-def recompute_batch_stats(model, params: Any, init_batch_stats: Any,
-                          batches: Iterable, num_passes: int = 64) -> Any:
-    """Refresh BN running stats with forward passes (model_utils.py:42-116).
-
-    Runs `num_passes` train-mode forwards; with BN momentum 0.99 this
-    converges the running stats toward the averaged weights' activations.
-    """
-    batch_stats = init_batch_stats
+def make_bn_fwd(model):
+    """Build the jitted BN-refresh forward once (params traced, so repeated
+    per-generation refreshes never recompile)."""
 
     @jax.jit
-    def fwd(batch_stats, planes, scalars):
+    def fwd(params, batch_stats, planes, scalars):
         _, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             planes, scalars, train=True, mutable=["batch_stats"])
         return mutated["batch_stats"]
 
+    return fwd
+
+
+def recompute_batch_stats(model, params: Any, init_batch_stats: Any,
+                          batches: Iterable, num_passes: int = 64,
+                          fwd_fn=None) -> Any:
+    """Refresh BN running stats with forward passes (model_utils.py:42-116,
+    reference default 150 batches, no stat reset).
+
+    Runs `num_passes` train-mode forwards; with BN momentum 0.99 this
+    converges the running stats toward the averaged weights' activations.
+    Pass `fwd_fn` (from make_bn_fwd) to reuse one compiled executable
+    across calls.
+    """
+    if fwd_fn is None:
+        fwd_fn = make_bn_fwd(model)
+    batch_stats = init_batch_stats
     count = 0
     for planes, scalars in batches:
-        batch_stats = fwd(batch_stats, planes, scalars)
+        batch_stats = fwd_fn(params, batch_stats, planes, scalars)
         count += 1
         if count >= num_passes:
             break

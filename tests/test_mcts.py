@@ -61,12 +61,24 @@ class TestGumbelValue:
         assert int(res.visits[0]) == 16
         assert int(res.root_child_visits.sum()) == 16
 
-    def test_n1_returns_raw_policy(self):
+    def test_n1_returns_gumbel_top_legal(self):
+        # n == 1 plays the gumbel-top LEGAL move (gumbel.cc:312-316); with
+        # zero noise that's the masked-prior argmax.
         states = batch_states(1)
-        params = SearchParams(n=1, k=4)
+        params = SearchParams(n=1, k=4, noise_scale=0.0)
         res = search_root(jax.random.PRNGKey(0), states, value_eval_fn, params)
-        assert int(res.mcts_move[0]) == BAD  # argmax prior
+        assert int(res.mcts_move[0]) == BAD  # masked argmax prior
+        assert int(res.raw_nn_move[0]) == BAD
         assert int(res.visits[0]) == 0
+
+    def test_n1_with_noise_plays_legal(self):
+        states = batch_states(2)
+        params = SearchParams(n=1, k=4, noise_scale=1.0)
+        res = search_root(jax.random.PRNGKey(7), states, value_eval_fn,
+                          params)
+        masks = np.asarray(jax.vmap(legal_mask)(states))
+        for bi in range(2):
+            assert masks[bi, int(res.mcts_move[bi])]
 
 
 class TestGumbelMechanics:
