@@ -1,12 +1,17 @@
 """Benchmark: self-play moves/s/chip on b12c128 @ 19x19 (BASELINE.json).
 
-Runs the full vectorized self-play step (Gumbel n=32 k=4 search with
-in-graph b12c128btl3 bf16 inference, superko guard, board step, record
-writes) on the real chip and reports lockstep moves/s.
+Runs the full vectorized self-play step with the REFERENCE workload mix
+(selfplay/main.cc:40-47 defaults: 25% of moves selected-tier n=128 k=8,
+75% fast-tier n=32 k=5, per-board playout-cap randomization) with
+in-graph b12c128btl3 bf16 inference, tree reuse, superko guard, board
+step and record writes — measured at STEADY STATE: 100 plies are played
+before timing so trees, reuse carries and game phases reflect mid-game
+self-play rather than the tiny-tree opening.
 
 Reference anchor: ~70 min/generation at 5,000 games/gen on 1x A100 + 30
-vCPU => ~250-400 self-play moves/s system-wide (BASELINE.md, journal.md:188).
-vs_baseline uses the 325 moves/s midpoint.
+vCPU => ~250-400 self-play moves/s system-wide (BASELINE.md,
+journal.md:188), with the same 25/75 tier mix. vs_baseline uses the 325
+moves/s midpoint.
 
 Prints ONE JSON line.
 """
@@ -26,36 +31,39 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 BASELINE_MOVES_PER_SEC = 325.0
+WARMUP_PLIES = int(os.environ.get("BENCH_WARMUP_PLIES", "100"))
+TIMED_PLIES = int(os.environ.get("BENCH_TIMED_PLIES", "16"))
 
 
 def main():
     from p3achygo_tpu.game.board import new_state
     from p3achygo_tpu.mcts.gumbel import SearchParams, make_eval_fn
     from p3achygo_tpu.models import build_model, get_config, init_params
+    from p3achygo_tpu.mcts.tree import make_tree
     from p3achygo_tpu.selfplay.loop import (
         SelfplayConfig,
+        finished_mask,
         make_aux,
         make_game_buffer,
-        selfplay_step,
+        selfplay_step_tiered,
     )
 
     B = 1024
     cfg = SelfplayConfig(batch_size=B)
-    params = SearchParams(n=32, k=4, noise_scale=1.0, max_depth=24)
+    params_sel = SearchParams(n=128, k=8, noise_scale=1.0, max_depth=24)
+    params_fast = SearchParams(n=32, k=5, noise_scale=1.0, max_depth=24)
 
     model = build_model(get_config("b12c128btl3"), dtype=jnp.bfloat16)
     variables = init_params(model, jax.random.PRNGKey(0))
     eval_fn = make_eval_fn(model, variables)
 
-    from p3achygo_tpu.mcts.tree import make_tree
-
-    reuse_capacity = params.n + 2
+    reuse_capacity = 64
 
     @jax.jit
     def sp_step(states, buf, aux, tree, key):
-        return selfplay_step(states, buf, aux, key, eval_fn, params, cfg,
-                             selected_tier=True, reuse_tree=tree,
-                             reuse_capacity=reuse_capacity)
+        return selfplay_step_tiered(
+            states, buf, aux, key, eval_fn, params_sel, params_fast, cfg,
+            reuse_tree=tree, reuse_capacity=reuse_capacity)
 
     states = jax.vmap(lambda _: new_state(cfg.komi))(jnp.arange(B))
     buf = make_game_buffer(B, cfg.max_game_len)
@@ -66,20 +74,23 @@ def main():
     aux = aux._replace(raw_until=aux.raw_until * 0)
     tree = make_tree(B, reuse_capacity)
 
-    # Warmup/compile.
-    states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
+    # Warmup/compile + play into the mid-game.
+    for _ in range(WARMUP_PLIES):
+        states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
     jax.block_until_ready(states.stones)
 
-    steps = 8
+    active_counts = []
     t0 = time.time()
-    for _ in range(steps):
+    for _ in range(TIMED_PLIES):
+        active_counts.append(jnp.sum(~finished_mask(states, cfg)))
         states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
     jax.block_until_ready(states.stones)
     dt = time.time() - t0
 
-    moves_per_sec = B * steps / dt
+    moves = int(sum(int(c) for c in active_counts))
+    moves_per_sec = moves / dt
     print(json.dumps({
-        "metric": "selfplay_moves_per_sec_per_chip_b12c128_n32k4",
+        "metric": "selfplay_moves_per_sec_per_chip_b12c128_refmix_steady",
         "value": round(moves_per_sec, 2),
         "unit": "moves/s/chip",
         "vs_baseline": round(moves_per_sec / BASELINE_MOVES_PER_SEC, 3),

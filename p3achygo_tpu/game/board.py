@@ -209,7 +209,7 @@ def new_state(komi: float = DEFAULT_KOMI) -> GoState:
         consecutive_passes=jnp.int32(0),
         passes=jnp.int32(0),
         move_count=jnp.int32(0),
-        komi=jnp.float32(komi),
+        komi=jnp.asarray(komi, jnp.float32),
         num_b_prisoners=jnp.int32(0),
         num_w_prisoners=jnp.int32(0),
     )

@@ -20,9 +20,11 @@ Semantics mirrored from the reference:
   selected child (gumbel.cc:510-557)
 
 Deviations (documented): in-tree legality uses the cheap mask (exact
-superko is enforced on real game moves, not simulated ones);
-early-stopping/over-search not yet implemented. Tree reuse across moves is
-supported via init_tree/compact_subtree (see search_root docstring).
+superko is enforced on real game moves, not simulated ones). Early
+stopping + over-search (gumbel.cc:326-352, :397-409) are implemented with
+per-board stop flags and a whole-batch round exit (SearchParams). Tree
+reuse across moves is supported via init_tree/compact_subtree (see
+search_root docstring).
 """
 from __future__ import annotations
 
@@ -32,7 +34,6 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from p3achygo_tpu.constants import (
     BLACK,
@@ -51,6 +52,7 @@ from p3achygo_tpu.game.board import (
 )
 from p3achygo_tpu.game.scoring import score as score_board
 from p3achygo_tpu.mcts.tree import (
+    MAX_Q,
     MIN_Q,
     NUM_V_BUCKETS,
     V_BUCKET_RANGE,
@@ -102,6 +104,19 @@ class SearchParams:
     # settled endgame positions. Real game results always use exact
     # scoring (selfplay harvest).
     terminal_mode: str = "cheap"
+    # Confidence-based early stopping (gumbel.cc:326-352): every ceil(v/4)
+    # visits within a round, a board stops its round early when every live
+    # candidate's root edge has >= 10 visits and the bottom half's max
+    # Q-UCB <= the top half's max Q-LCB at confidence
+    # search_confidence^(1/num_rounds). Over-search (gumbel.cc:397-409)
+    # instead raises the round budget to 2.5x and runs the same check from
+    # v visits onward (the two modes are mutually exclusive,
+    # self_play_thread.cc:544-548). Per-board: stopped boards' lanes idle
+    # inside the lockstep sweep; the round's sweep loop exits entirely once
+    # every board has stopped.
+    early_stopping: bool = False
+    over_search: bool = False
+    search_confidence: float = 0.95
 
 
 class GumbelResult(NamedTuple):
@@ -183,6 +198,86 @@ def uniform_eval_fn(states: GoState) -> EvalOutput:
         score_est=jnp.zeros((B,)),
         score_var=jnp.zeros((B,)),
     )
+
+
+_T_TABLE_MAX_DF = 512
+
+
+def _t_quantile_table(alpha: float, max_df: int = _T_TABLE_MAX_DF):
+    """Two-sided Student-t quantiles for df = 1..max_df (ZScore,
+    tree.cc:36-39: quantile(complement(t_dist(n-1), alpha/2))). Computed
+    host-side at trace time into a constant array."""
+    import numpy as _np
+    p = 1.0 - alpha / 2.0
+    try:
+        from scipy.stats import t as _t
+        tab = _t.ppf(p, _np.arange(1, max_df + 1))
+    except ImportError:  # pragma: no cover - scipy is in the image
+        # Cornish-Fisher expansion of t around the normal quantile.
+        from statistics import NormalDist
+        z = NormalDist().inv_cdf(p)
+        df = _np.arange(1, max_df + 1, dtype=_np.float64)
+        tab = z + (z**3 + z) / (4.0 * df) \
+            + (5 * z**5 + 16 * z**3 + 3 * z) / (96.0 * df**2)
+    return jnp.asarray(tab, jnp.float32)
+
+
+def _can_stop_early(tree: Tree, cand_actions: jnp.ndarray,
+                    cand_valid: jnp.ndarray, k_r: int,
+                    base_score: jnp.ndarray, ztab: jnp.ndarray,
+                    params: "SearchParams") -> jnp.ndarray:
+    """Per-board confidence check (can_stop_early, gumbel.cc:326-352).
+
+    A board may end its round when every live candidate's root edge has
+    >= 10 visits (kMinEarlyStoppingVisits) and max-UCB of the bottom half
+    (by current gumbel+qtransform score) <= max-LCB of the top half.
+    CIs are Student-t on edge Q with variance from the child node
+    (ConfidenceInterval, tree.cc:41-51; QVar -> VVar, tree.h:133-139).
+    Returns bool[B].
+    """
+    B, N = tree.n.shape
+    ca = cand_actions[:, :k_r]  # [B, k]
+    valid = cand_valid[:, :k_r]
+    oh = jax.nn.one_hot(ca, NUM_MOVES, dtype=jnp.float32)  # [B, k, 362]
+    root_en = tree.edge_n[:, 0, :].astype(jnp.float32)  # [B, 362]
+    root_ew = tree.edge_w[:, 0, :]
+    n_a = jnp.einsum("bka,ba->bk", oh, root_en)
+    w_a = jnp.einsum("bka,ba->bk", oh, root_ew)
+    q_a = jnp.where(n_a > 0, -(w_a / jnp.maximum(n_a, 1.0)), MIN_Q)
+    childp1 = jnp.einsum("bka,ba->bk", oh,
+                         (tree.children[:, 0, :] + 1).astype(jnp.float32))
+    has_child = childp1 > 0.5
+    child_idx = jnp.clip(childp1.astype(jnp.int32) - 1, 0, N - 1)
+    ohn = jax.nn.one_hot(child_idx, N, dtype=jnp.float32)  # [B, k, N]
+    vvar_sum = jnp.einsum("bkn,bn->bk", ohn, tree.v_var_sum)
+    # VVar: node v_var (= v_var_sum / n), kMaxQ when n < 3 (tree.h:126-130).
+    qvar = jnp.where(n_a >= 3, vvar_sum / jnp.maximum(n_a, 1.0), MAX_Q)
+    # Student-t z at df = n-1 (constant-table one-hot lookup).
+    df = jnp.clip(n_a.astype(jnp.int32) - 1, 1, _T_TABLE_MAX_DF)
+    z = jnp.einsum("bkt,t->bk",
+                   jax.nn.one_hot(df - 1, _T_TABLE_MAX_DF,
+                                  dtype=jnp.float32), ztab)
+    std = jnp.sqrt(jnp.maximum(qvar, 0.0) / jnp.maximum(n_a, 1.0))
+    lcb = q_a - z * std
+    ucb = q_a + z * std
+    # All live candidates need a child with >= kMinEarlyStoppingVisits.
+    ok = jnp.all(~valid | (has_child & (n_a >= 10.0)), axis=1)
+    # Partition by current score order (update_qtransform + sort precede
+    # the check, gumbel.cc:460-466): top k/2 contribute LCBs, rest UCBs.
+    maxn = jnp.max(root_en, axis=-1)
+    score_a = jnp.einsum("bka,ba->bk", oh, base_score) \
+        + (params.c_visit + maxn[:, None]) * params.c_scale * q_a
+    score_a = jnp.where(valid, score_a, _BIG_NEG)
+    gt = score_a[:, None, :] > score_a[:, :, None]  # [B, i, j]: s_j > s_i
+    eq = score_a[:, None, :] == score_a[:, :, None]
+    jlt = (jnp.arange(k_r)[None, :] < jnp.arange(k_r)[:, None])[None]
+    rank = jnp.sum((gt | (eq & jlt)).astype(jnp.int32), axis=2)  # [B, k]
+    half = k_r // 2
+    top = valid & (rank < half)
+    bot = valid & (rank >= half)
+    top_lcb = jnp.max(jnp.where(top, lcb, -2.0), axis=1)
+    bot_ucb = jnp.max(jnp.where(bot, ucb, -2.0), axis=1)
+    return ok & (bot_ucb <= top_lcb)
 
 
 def _score_utility(score_weight, score_est, root_score_signed):
@@ -481,27 +576,35 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
     cand_valid = jnp.take_along_axis(legal0, cand_actions, axis=1)
     board_over = jax.vmap(is_game_over)(states)
 
-    # --- k-wide visit sweeps ---
+    # --- k-wide visit sweeps, round-width specialized ---
     # The reference visits the k candidates sequentially within each visit
     # round (gumbel.cc:413-446), but candidate subtrees are disjoint and the
     # root takes no stat updates during search, so all k sims of a sweep are
-    # independent: run them as one [B*k]-wide batched simulation. Sequential
-    # sim steps drop from n to sum_r v_r and every NN eval batches B*k
-    # leaves onto the MXU.
-    W = B * k
-    bw = jnp.arange(W) // k  # board index per lane
-    cw = jnp.arange(W) % k  # candidate slot per lane
+    # independent: run them as one [B*k_r]-wide batched simulation.
+    # Sequential sim steps drop from n to sum_r v_r and every NN eval
+    # batches B*k_r leaves onto the MXU. Each halving round is traced at
+    # its OWN width W_r = B * k_r (round 2 of n=32,k=4 runs 8 of 12 sweeps
+    # with only 2 live candidates — a fixed-width scan would spend ~33%
+    # of all W-proportional work on dead lanes).
     spare = max_nodes - 1  # reserved dummy slot for inactive-lane scatters
-    states_wide = jax.tree_util.tree_map(
-        lambda x: jnp.repeat(x, k, axis=0), states)
-    root_color_w = root_color[bw]
-    root_score_w = root_score_est[bw]
 
-    def simulate(carry, xs):
-        tree, cand_actions, cand_valid, key = carry
-        active_k, rerank_k = xs
-        action0 = cand_actions[bw, cw]  # [W]
-        valid0 = cand_valid[bw, cw] & (cw < active_k) & ~board_over[bw]
+    def one_sweep(tree, k_r, cand_actions, cand_valid, stopped=None):
+        """One k_r-wide visit sweep (every live candidate gets one sim).
+
+        `stopped` [B] marks boards whose round ended early — their lanes
+        go inactive (no visits, no tree writes)."""
+        W = B * k_r
+        bw = jnp.arange(W) // k_r  # board index per lane
+        states_wide = jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, k_r, axis=0), states)
+        root_color_w = root_color[bw]
+        root_score_w = root_score_est[bw]
+        # Candidates are rerank-sorted descending, so lanes 0..k_r-1 are
+        # the surviving half; constant within a round.
+        action0 = cand_actions[:, :k_r].reshape(-1)  # [W]
+        valid0 = cand_valid[:, :k_r].reshape(-1) & ~board_over[bw]
+        if stopped is not None:
+            valid0 = valid0 & ~stopped[bw]
 
         # --- descent (Search, gumbel.cc:674-727), k-wide ---
         # The tree is READ-ONLY inside the while loop: within one sweep no
@@ -573,7 +676,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         # Assign node slots for this sweep's allocations (<= 1 per lane)
         # and apply the deferred child-table writes in one scatter.
         allocated = (cur_final == NEW_MARK) & valid0
-        na = allocated.reshape(B, k)
+        na = allocated.reshape(B, k_r)
         rank = jnp.cumsum(na, axis=1) - na
         new_idx = (tree.next_free[:, None] + rank).reshape(-1).astype(jnp.int32)
         leaf_node = jnp.where(allocated, new_idx,
@@ -688,9 +791,9 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                           NUM_V_BUCKETS - 1)
         nonleaf = on_path & ~is_leaf_slot
         # One-hot contraction instead of scatter-add: batched multi-index
-        # scatters serialize on TPU; this is a small MXU matmul. All k*D
+        # scatters serialize on TPU; this is a small MXU matmul. All k_r*D
         # path entries of a board fold into one [I, max_nodes] one-hot.
-        I = k * D
+        I = k_r * D
         oh = jax.nn.one_hot(node_s.reshape(B, I), max_nodes,
                             dtype=jnp.float32)  # [B, I, N]
         onp = on_path.reshape(B, I).astype(jnp.float32)
@@ -728,45 +831,86 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             edge_w=tree.edge_w + edge(add_w, onp),
         )
 
-        # --- in-scan candidate re-ranking at round boundaries ---
-        # (update_qtransform + sort, gumbel.cc:355-366,469-471). rerank_k is
-        # the finishing round's candidate count, 0 between boundaries.
-        def rerank(operand):
-            tree, cand_actions, cand_valid, k_r = operand
-            q0 = q_of_children(tree, jnp.zeros((B,), jnp.int32))
-            nvis0 = child_visits(tree, jnp.zeros((B,), jnp.int32))
-            maxn = jnp.max(nvis0, axis=-1).astype(jnp.float32)
-            qtransform = (params.c_visit + maxn[:, None]) * params.c_scale * q0
-            cand_scores = jnp.take_along_axis(base_score + qtransform,
-                                              cand_actions, axis=1)
-            cand_scores = jnp.where(cand_valid, cand_scores, _BIG_NEG)
-            in_round = jnp.arange(k)[None, :] < k_r
-            cand_scores = jnp.where(in_round, cand_scores, _BIG_NEG)
-            order = jnp.argsort(-cand_scores, axis=1)
-            return (jnp.take_along_axis(cand_actions, order, axis=1),
-                    jnp.take_along_axis(cand_valid, order, axis=1))
+        return tree
 
-        cand_actions, cand_valid = jax.lax.cond(
-            rerank_k > 0, rerank,
-            lambda op: (op[1], op[2]),
-            (tree, cand_actions, cand_valid, rerank_k))
-        visits = jnp.sum(valid0.reshape(B, k).astype(jnp.int32), axis=1)
-        return (tree, cand_actions, cand_valid, key), visits
+    def rerank(tree, cand_actions, cand_valid, k_r):
+        """Candidate re-ranking at a round boundary (update_qtransform +
+        sort, gumbel.cc:355-366,469-471): only the finishing round's top
+        k_r lanes compete; the rest sort below them."""
+        q0 = q_of_children(tree, jnp.zeros((B,), jnp.int32))
+        nvis0 = child_visits(tree, jnp.zeros((B,), jnp.int32))
+        maxn = jnp.max(nvis0, axis=-1).astype(jnp.float32)
+        qtransform = (params.c_visit + maxn[:, None]) * params.c_scale * q0
+        cand_scores = jnp.take_along_axis(base_score + qtransform,
+                                          cand_actions, axis=1)
+        cand_scores = jnp.where(cand_valid, cand_scores, _BIG_NEG)
+        in_round = jnp.arange(k)[None, :] < k_r
+        cand_scores = jnp.where(in_round, cand_scores, _BIG_NEG)
+        order = jnp.argsort(-cand_scores, axis=1)
+        return (jnp.take_along_axis(cand_actions, order, axis=1),
+                jnp.take_along_axis(cand_valid, order, axis=1))
 
-    # Flatten the halving schedule into sweeps: xs = (active_k, rerank_k)
-    # with one sweep per visit and rerank_k > 0 on the last sweep of each
-    # round. One scan => the NN eval subgraph is compiled once.
-    active_list, rerank_list = [], []
+    # Run the halving schedule: one scan of v_r sweeps per round, each
+    # traced at its own width W_r = B * k_r, with a rerank at every round
+    # boundary. Without early stopping, visits accounting is static per
+    # round: every live lane spends exactly v_r sims. With early stopping
+    # (or over-search) the scan becomes a while_loop that exits as soon as
+    # every board has passed its confidence check (per-board semantics:
+    # a stopped board's lanes idle; whole-batch exit once all stop).
+    es_enabled = params.early_stopping or params.over_search
+    if es_enabled:
+        lam = params.search_confidence ** (1.0 / num_rounds)
+    visits_spent = jnp.zeros((B,), jnp.int32)
     for k_r, v_r in round_specs:
-        active_list.extend([k_r] * v_r)
-        rer = [0] * v_r
-        rer[-1] = k_r
-        rerank_list.extend(rer)
-    xs = (jnp.asarray(np.array(active_list, np.int32)),
-          jnp.asarray(np.array(rerank_list, np.int32)))
-    (tree, cand_actions, cand_valid, key), visit_counts = jax.lax.scan(
-        simulate, (tree, cand_actions, cand_valid, key), xs)
-    visits_spent = jnp.sum(visit_counts, axis=0)
+        live_k = cand_valid[:, :k_r] & ~board_over[:, None]  # [B, k_r]
+        if not es_enabled:
+            body = (lambda k_r, ca, cv:
+                    lambda t, _: (one_sweep(t, k_r, ca, cv), None))(
+                        k_r, cand_actions, cand_valid)
+            tree, _ = jax.lax.scan(body, tree, None, length=v_r)
+            visits_spent = visits_spent + v_r * jnp.sum(
+                live_k.astype(jnp.int32), axis=1)
+        else:
+            # (visits_per_action, check_interval, min_check),
+            # gumbel.cc:397-409. i counts completed visit sweeps; the
+            # reference checks at 0-indexed visit_num with
+            # visit_num % c == c-1 and visit_num >= min_check, i.e. at
+            # i % c == 0 and i >= min_check + 1.
+            if params.over_search:
+                budget = v_r * 5 // 2
+                c = -(-v_r // 4)
+                first_check = v_r
+            else:
+                budget = v_r
+                c = -(-v_r // 4)
+                first_check = c
+            kb = k_r // 2 + k_r % 2
+            ztab = _t_quantile_table(lam / kb)
+            dead = ~jnp.any(live_k, axis=1)  # [B] no live lane this round
+
+            def es_cond(carry, budget=budget):
+                _, stopped, i, _ = carry
+                return (i < budget) & ~jnp.all(stopped | dead)
+
+            def es_body(carry, k_r=k_r, c=c, first_check=first_check,
+                        ca=cand_actions, cv=cand_valid, ztab=ztab,
+                        live_k=live_k):
+                tree, stopped, i, vs = carry
+                tree = one_sweep(tree, k_r, ca, cv, stopped)
+                vs = vs + jnp.sum(
+                    (live_k & ~stopped[:, None]).astype(jnp.int32), axis=1)
+                i = i + 1
+                is_check = ((i % c) == 0) & (i >= first_check)
+                stop_now = _can_stop_early(tree, ca, cv, k_r, base_score,
+                                           ztab, params)
+                stopped = stopped | (is_check & stop_now)
+                return tree, stopped, i, vs
+
+            tree, _, _, visits_spent = jax.lax.while_loop(
+                es_cond, es_body,
+                (tree, jnp.zeros((B,), jnp.bool_), jnp.int32(0),
+                 visits_spent))
+        cand_actions, cand_valid = rerank(tree, cand_actions, cand_valid, k_r)
 
     # --- final improved policy (ComputeRootImprovedPolicy, gumbel.cc:154-175)
     q0 = q_of_children(tree, jnp.zeros((B,), jnp.int32))

@@ -77,6 +77,22 @@ class RunConfig:
     # validation per gen, rl_loop/train.py:183-198), and batches/gen.
     val_game_frac: float = 0.02
     val_batches: int = 8
+    # Fresh-game diversity (GetInitState, self_play_thread.cc:203-254):
+    # per-game komi = round(7 + clamp(N(0,1), -3, 3)) +/- 0.5, and 5% of
+    # fresh games start with 2-4 handicap stones (kHandicapGame).
+    randomize_komi: bool = True
+    handicap_game_prob: float = 0.05
+    # Fork manager (fork_manager.h): position-diversity sampling into the
+    # reuse buffer. Probabilities scale with use_seen_state_prob via
+    # ForkParams.for_reuse; regret forks feed the regret-guided buffer.
+    fork_enabled: bool = True
+    fork_regret_prob: float = 0.0
+    # 'goexploit' | 'regret' | 'composite' (BufferType, reuse_buffer.h:44).
+    reuse_buffer_type: str = "goexploit"
+    # Early stopping / over-search (gumbel.h:46-47 + main.cc:68): selfplay
+    # search stops a round early at 95% confidence; over-search extends
+    # trainable moves' budget up to 2.5x with prob kOverSearchNodeProb.
+    early_stopping_enabled: bool = False
 
 
 def gumbel_params_for_gen(cfg: RunConfig, gen: int,

@@ -36,14 +36,25 @@ from p3achygo_tpu.selfplay.loop import (
     make_aux,
     make_game_buffer,
     reset_finished,
-    selfplay_step,
+    selfplay_step_tiered,
 )
 from p3achygo_tpu.selfplay.move_sel import (
     calibration_from_dict,
     default_calibration,
 )
+from p3achygo_tpu.selfplay.fork import (
+    ForkEvaluator,
+    ForkManager,
+    ForkParams,
+    GameRecord,
+)
 from p3achygo_tpu.selfplay.records import finalize_game, game_to_sgf
-from p3achygo_tpu.selfplay.reuse import GoExploitBuffer, InitState
+from p3achygo_tpu.selfplay.reuse import (
+    FMB_FORCE_FULL_SEARCH,
+    FMB_SAMPLE,
+    InitState,
+    make_reuse_buffer,
+)
 from p3achygo_tpu.selfplay.stats import (
     MoveStatsBatch,
     compute_calibration,
@@ -135,7 +146,25 @@ class GenerationLoop:
         self.buf = make_game_buffer(B, self.sp_cfg.max_game_len)
         self.key, kaux = jax.random.split(self.key)
         self.aux = make_aux(kaux, B, self.sp_cfg.max_raw_policy_moves)
-        self.reuse = GoExploitBuffer(seed=seed)
+        self.reuse = make_reuse_buffer(cfg.reuse_buffer_type, seed=seed)
+        # Fork manager (fork_manager.h): per-game fork plans, harvest-time
+        # execution with batched NN rounds.
+        self.fork: Optional[ForkManager] = None
+        if cfg.fork_enabled:
+            fp = ForkParams.for_reuse(cfg.use_seen_state_prob) \
+                if cfg.use_seen_state_prob > 0 else ForkParams()
+            if cfg.fork_regret_prob > 0:
+                fp = dataclasses.replace(
+                    fp, regret_prob=cfg.fork_regret_prob,
+                    late_fork_prob=max(
+                        fp.late_fork_prob - cfg.fork_regret_prob, 0.0))
+            self.fork = ForkManager(
+                fp, self.reuse, ForkEvaluator(model=self.model), seed=seed)
+        self._fork_plans = [None] * B
+        self._init_mv = np.zeros(B, np.int32)
+        self._is_fresh = np.ones(B, bool)
+        if self.fork is not None:
+            self._fork_plans = [self.fork.new_plan(True) for _ in range(B)]
         from p3achygo_tpu.mcts.tree import make_tree
         from p3achygo_tpu.rl.config import gumbel_params_for_gen as _gp
 
@@ -151,44 +180,38 @@ class GenerationLoop:
 
     # ---------------- selfplay ----------------
     def _bind_selfplay(self):
-        """Two jitted tiers: selected (full, trainable) vs fast
-        (playout-cap randomization, self_play_thread.cc:527-611; the 25%
-        choice is a batch-global per-step flip here).
+        """One jitted step with PER-BOARD playout-cap randomization: a
+        random quarter of the batch runs the selected tier and the rest the
+        fast tier, each as a compact sub-batch at its own width
+        (selfplay_step_tiered; self_play_thread.cc:527-611).
 
         Golden weights are a TRACED argument so weight updates between
         generations never retrace/recompile the selfplay programs.
         """
         cfg = self.sp_cfg
-        steps = {}
-        for selected in (True, False):
-            n, k = gumbel_params_for_gen(self.cfg, self.gen, selected=selected)
-            params = SearchParams(n=n, k=k, noise_scale=1.0, max_depth=24)
-
-            def make(params=params, selected=selected):
-                if self.tree is not None:
-                    @jax.jit
-                    def sp_step(states, buf, aux, tree, key, golden, calib,
-                                sel_base):
-                        eval_fn = make_eval_fn(self.model, golden)
-                        return selfplay_step(
-                            states, buf, aux, key, eval_fn, params, cfg,
-                            selected_tier=selected, reuse_tree=tree,
-                            reuse_capacity=self.reuse_capacity,
-                            calib=calib, sel_mult_base=sel_base)
-                else:
-                    @jax.jit
-                    def sp_step(states, buf, aux, key, golden, calib,
-                                sel_base):
-                        eval_fn = make_eval_fn(self.model, golden)
-                        return selfplay_step(states, buf, aux, key, eval_fn,
-                                             params, cfg,
-                                             selected_tier=selected,
-                                             calib=calib,
-                                             sel_mult_base=sel_base)
-                return sp_step
-
-            steps[selected] = make()
-        self._sp_steps = steps
+        n_s, k_s = gumbel_params_for_gen(self.cfg, self.gen, selected=True)
+        n_f, k_f = gumbel_params_for_gen(self.cfg, self.gen, selected=False)
+        params_sel = SearchParams(n=n_s, k=k_s, noise_scale=1.0, max_depth=24)
+        params_fast = SearchParams(n=n_f, k=k_f, noise_scale=1.0,
+                                   max_depth=24)
+        if self.tree is not None:
+            @jax.jit
+            def sp_step(states, buf, aux, tree, key, golden, calib,
+                        sel_base):
+                eval_fn = make_eval_fn(self.model, golden)
+                return selfplay_step_tiered(
+                    states, buf, aux, key, eval_fn, params_sel, params_fast,
+                    cfg, reuse_tree=tree,
+                    reuse_capacity=self.reuse_capacity,
+                    calib=calib, sel_mult_base=sel_base)
+        else:
+            @jax.jit
+            def sp_step(states, buf, aux, key, golden, calib, sel_base):
+                eval_fn = make_eval_fn(self.model, golden)
+                return selfplay_step_tiered(
+                    states, buf, aux, key, eval_fn, params_sel, params_fast,
+                    cfg, calib=calib, sel_mult_base=sel_base)
+        self._sp_steps = sp_step
 
     def selfplay_games(self, num_games: int, max_plies: int = 100000) -> int:
         if self._sp_steps is None:
@@ -199,17 +222,16 @@ class GenerationLoop:
         B = self.cfg.selfplay_batch_size
         while (self.replay.games_added - start_games) < num_games \
                 and plies < max_plies:
-            selected = bool(self._np_rng.uniform() < 0.25)  # train-move prob
             if self.tree is not None:
                 (self.states, self.buf, self.aux, self.tree,
-                 self.key) = self._sp_steps[selected](
+                 self.key) = self._sp_steps(
                     self.states, self.buf, self.aux, self.tree, self.key,
                     self.golden, self.calib, self.sel_mult_base)
             else:
                 self.states, self.buf, self.aux, self.key = \
-                    self._sp_steps[selected](self.states, self.buf, self.aux,
-                                             self.key, self.golden,
-                                             self.calib, self.sel_mult_base)
+                    self._sp_steps(self.states, self.buf, self.aux,
+                                   self.key, self.golden,
+                                   self.calib, self.sel_mult_base)
             plies += 1
             # Harvest in batches: scoring a finished game runs full Benson
             # over the whole lockstep batch, so amortize it (finished
@@ -233,6 +255,7 @@ class GenerationLoop:
         komi = np.asarray(self.states.komi)
         for b in idx:
             L = min(int(counts[b]), self.sp_cfg.max_game_len)
+            mv0 = int(self._init_mv[b])  # restart offset; rows < mv0 empty
             ex = finalize_game(
                 stones=buf_np.stones[b], last_moves=buf_np.last_moves[b],
                 to_move=buf_np.to_move[b], pi=buf_np.pi[b],
@@ -267,7 +290,25 @@ class GenerationLoop:
                 visit_count=buf_np.visits[b, :L].astype(np.float32),
                 visit_count_pre=buf_np.visit_count_pre[b, :L]))
             self.reuse.maybe_add_from_game(
-                buf_np.stones[b], buf_np.last_moves[b], buf_np.to_move[b], L)
+                buf_np.stones[b][mv0:L], buf_np.last_moves[b][mv0:L],
+                buf_np.to_move[b][mv0:L], L - mv0)
+            # Fork manager: stage this game's fork decision
+            # (MaybeFork/FinalizeGame deferred to harvest, fork.py).
+            if self.fork is not None and L - mv0 > 0:
+                rec = GameRecord(
+                    stones=buf_np.stones[b][mv0:L],
+                    last_moves=buf_np.last_moves[b][mv0:L],
+                    to_move=buf_np.to_move[b][mv0:L],
+                    move=buf_np.move[b][mv0:L],
+                    nn_value=buf_np.nn_q[b][mv0:L],
+                    mcts_value=buf_np.root_q_outcome[b][mv0:L],
+                    mcts_score=buf_np.root_score[b][mv0:L],
+                    eligible=(~buf_np.sampled_raw[b][mv0:L]
+                              & (buf_np.visits[b][mv0:L] > 0)),
+                    komi=float(komi[b]),
+                    winner=1 if float(bs[b]) > float(ws[b]) else -1,
+                    init_mv_num=mv0)
+                self.fork.process_game(self._fork_plans[b], rec)
             if self.sgf_dir:
                 os.makedirs(self.sgf_dir, exist_ok=True)
                 sgf = game_to_sgf(buf_np.to_move[b], buf_np.move[b], L,
@@ -278,52 +319,94 @@ class GenerationLoop:
                         "w") as f:
                     f.write(sgf)
 
-        # GoExploit restarts (use_seen_state_prob, self_play_thread.cc:203).
-        init_states, use_init = None, None
-        p_reuse = self.cfg.use_seen_state_prob
-        if p_reuse > 0 and len(self.reuse) > 0:
-            init_states, use_init = self._build_reuse_batch(idx, p_reuse)
+        # Flush staged fork jobs' batched NN rounds into the reuse buffer.
+        if self.fork is not None:
+            self.fork.flush(self.golden)
+
+        # Per-board restarts (GetInitState, self_play_thread.cc:203-254).
+        (init_states, use_init, komi_arr, no_raw,
+         force_sel) = self._build_restart_batch(idx)
         self.key, kreset = jax.random.split(self.key)
         out = reset_finished(
             self.states, self.buf, self.aux, jnp.asarray(done),
-            self.sp_cfg.komi, kreset, init_states, use_init,
+            komi_arr, kreset, init_states, use_init,
             max_raw_policy_moves=self.sp_cfg.max_raw_policy_moves,
-            reuse_tree=self.tree)
+            reuse_tree=self.tree, no_raw=no_raw, force_sel=force_sel)
         if self.tree is not None:
             self.states, self.buf, self.aux, self.tree = out
         else:
             self.states, self.buf, self.aux = out
 
-    def _build_reuse_batch(self, done_idx, p_reuse):
-        """Assemble a per-board batch of reuse starting positions."""
+    # Free-handicap placement (board.cc:479-480 kHandicapStones), flat idx.
+    _HANDICAP_STONES = (15 * 19 + 3, 3 * 19 + 15, 3 * 19 + 3, 15 * 19 + 15)
+
+    def _note_new_game(self, b: int, is_fresh: bool, init_mv: int):
+        self._is_fresh[b] = is_fresh
+        self._init_mv[b] = init_mv
+        self._fork_plans[b] = (self.fork.new_plan(is_fresh)
+                               if self.fork is not None else None)
+
+    def _build_restart_batch(self, done_idx):
+        """Per-board restart positions (GetInitState,
+        self_play_thread.cc:203-254): randomized komi for fresh games, 5%
+        handicap starts, use_seen_state_prob reuse-buffer restarts with
+        their stored komi/first-move behavior; updates fork-plan and
+        freshness bookkeeping for every restarted board.
+
+        -> (init_states, use_init, komi [B], no_raw [B], force_sel [B])."""
+        from p3achygo_tpu.constants import NOOP_MOVE
         from p3achygo_tpu.game.board import from_stones
 
         B = self.cfg.selfplay_batch_size
+        rng = self._np_rng
+        cfg = self.cfg
         stones = np.zeros((B, 361), np.int8)
-        last_moves = np.full((B, 5), -1, np.int32)
+        last_moves = np.full((B, 5), NOOP_MOVE, np.int32)
         to_move = np.ones((B,), np.int8)
         move_num = np.zeros((B,), np.int32)
+        komi = np.full((B,), self.sp_cfg.komi, np.float32)
+        no_raw = np.zeros((B,), bool)
+        force = np.zeros((B,), bool)
         use = np.zeros((B,), bool)
         for b in done_idx:
-            if self._np_rng.uniform() < p_reuse:
-                st = self.reuse.pop_random()
+            use[b] = True
+            if cfg.randomize_komi:
+                komi[b] = (np.round(7.0 + np.clip(rng.normal(), -3.0, 3.0))
+                           + (0.5 if rng.uniform() < 0.5 else -0.5))
+            p = rng.uniform()
+            if p <= cfg.handicap_game_prob:
+                h = int(np.floor(rng.uniform() * 3 + 2))  # 2..4 stones
+                komi[b] = (h - 2) * 14 + 20.5  # katago ;) (ssp.cc:238)
+                for loc in self._HANDICAP_STONES[:h]:
+                    stones[b, loc] = 1
+                to_move[b] = -1  # WHITE moves first
+                self._note_new_game(b, is_fresh=True, init_mv=0)
+            elif (p <= cfg.handicap_game_prob + cfg.use_seen_state_prob
+                  and len(self.reuse) > 0):
+                st = self.reuse.get()
                 if st is None:
-                    break
+                    self._note_new_game(b, is_fresh=True, init_mv=0)
+                    continue
                 stones[b] = st.stones
                 last_moves[b] = st.last_moves
                 to_move[b] = st.to_move
                 move_num[b] = st.move_num
-                use[b] = True
-        if not use.any():
-            return None, None
-        init = jax.vmap(lambda s, lm, c, m: from_stones(
-            jnp.asarray(s), self.sp_cfg.komi, 1)._replace(
+                if st.komi is not None:
+                    komi[b] = st.komi
+                no_raw[b] = st.first_move_behavior != FMB_SAMPLE
+                force[b] = st.first_move_behavior == FMB_FORCE_FULL_SEARCH
+                self._note_new_game(b, is_fresh=False, init_mv=st.move_num)
+            else:
+                self._note_new_game(b, is_fresh=True, init_mv=0)
+        init = jax.vmap(lambda s, lm, c, k, m: from_stones(
+            s, k, 1)._replace(
                 last_moves=lm.astype(jnp.int32),
                 to_move=c.astype(jnp.int8),
                 move_count=m))(
             jnp.asarray(stones), jnp.asarray(last_moves),
-            jnp.asarray(to_move), jnp.asarray(move_num))
-        return init, jnp.asarray(use)
+            jnp.asarray(to_move), jnp.asarray(komi), jnp.asarray(move_num))
+        return (init, jnp.asarray(use), jnp.asarray(komi),
+                jnp.asarray(no_raw), jnp.asarray(force))
 
     # ---------------- training ----------------
     def train_epoch(self, num_steps: Optional[int] = None,

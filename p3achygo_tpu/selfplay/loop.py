@@ -132,6 +132,11 @@ class SelfplayAux(NamedTuple):
 
     raw_until: jnp.ndarray  # int32[B]: sample raw policy while move < this
     down_bad_count: jnp.ndarray  # int32[B]: consecutive |qz| > 0.9 moves
+    # FirstMoveBehavior::kForceFullSearch (reuse_buffer.h:19-26): the next
+    # move of these boards runs the selected tier and is trainable
+    # regardless of the tier coin; cleared after one move
+    # (self_play_thread.cc:322-327, :541-545).
+    force_sel: jnp.ndarray  # bool[B]
 
 
 def make_aux(key: jax.Array, B: int,
@@ -141,6 +146,7 @@ def make_aux(key: jax.Array, B: int,
     return SelfplayAux(
         raw_until=jax.random.randint(key, (B,), 0, max_raw_moves + 1),
         down_bad_count=jnp.zeros((B,), jnp.int32),
+        force_sel=jnp.zeros((B,), jnp.bool_),
     )
 
 
@@ -153,79 +159,58 @@ DOWN_BAD_THRESHOLD = 0.90  # kDownBadThreshold (self_play_thread.cc:68)
 DOWN_BAD_MOVES = 5  # kNumDownBadMovesThreshold
 
 
-def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
-                  key: jax.Array, eval_fn: EvalFn, params: SearchParams,
-                  cfg: SelfplayConfig, selected_tier: bool,
-                  reuse_tree=None, reuse_capacity: int = 0,
-                  calib=None, sel_mult_base=None):
-    """One lockstep move for the whole batch.
+def _zero_pre_stats(B: int):
+    from p3achygo_tpu.mcts.gumbel import RootPreStats
 
-    `selected_tier` (static) marks this step as a full-search step; only
-    selected-tier, non-raw-policy, non-down-bad-suppressed moves become
-    trainable records (kMoveSelectedForTrainingProb semantics applied as a
-    batch-global tier flip by the caller + per-board annealing here,
-    self_play_thread.cc:509-537).
+    z = jnp.zeros((B,), jnp.float32)
+    return RootPreStats(n_pre=jnp.zeros((B,), jnp.int32), q_pre=z, qz_pre=z,
+                        std_pre=z, pre_kld=z, nn_q=z, qz_nn=z,
+                        nn_mcts_diff=z, q_canonical=z, nn_uncertainty=z,
+                        prior_entropy=z)
 
-    `calib` (SelMultCalibration) and `sel_mult_base` (traced f32 scalar,
-    <= 0 disables) scale the training-selection probability by the
-    sel_mult modifier computed from pre-search signals of the reused tree
-    (self_play_thread.cc:473-499); both are traced so per-generation
-    calibration never recompiles this program.
-    """
+
+def _choose_move(states: GoState, res, raw_until: jnp.ndarray,
+                 kraw: jax.Array):
+    """Post-search move choice shared by all tiers.
+
+    Exact positional-superko guard on the sampled move (the in-tree mask is
+    the cheap one): violating moves fall back to the deterministic
+    improved-policy argmax, then to pass. Raw-policy opening moves sample
+    the masked NN prior directly (self_play_thread.cc:362-368, 527-533).
+    Returns (move, sampling_raw, over)."""
     B = states.stones.shape[0]
     b = jnp.arange(B)
-    key, ksearch, kraw, ksel = jax.random.split(key, 4)
-
-    # Pre-search root stats from the reused tree (self_play_thread.cc:
-    # 459-482) — must be read BEFORE the search mutates the root.
-    from p3achygo_tpu.mcts.gumbel import RootPreStats, root_pre_stats
-    from p3achygo_tpu.selfplay.move_sel import (
-        compute_move_sel,
-        default_calibration,
-    )
-
-    if reuse_tree is not None:
-        pre = root_pre_stats(reuse_tree, params.c_visit, params.c_scale)
-    else:
-        z = jnp.zeros((B,), jnp.float32)
-        pre = RootPreStats(n_pre=jnp.zeros((B,), jnp.int32), q_pre=z,
-                           qz_pre=z, std_pre=z, pre_kld=z, nn_q=z, qz_nn=z,
-                           nn_mcts_diff=z, q_canonical=z, nn_uncertainty=z,
-                           prior_entropy=z)
-
-    tau = tau_schedule(states.move_count, cfg)
-    if reuse_tree is not None:
-        res, work_tree = search_root(ksearch, states, eval_fn, params,
-                                     tau=tau, init_tree=reuse_tree,
-                                     reuse_capacity=reuse_capacity)
-    else:
-        res = search_root(ksearch, states, eval_fn, params, tau=tau)
-        work_tree = None
-
-    # Exact positional-superko guard on the sampled move (the in-tree mask
-    # is the cheap one): violating moves fall back to the deterministic
-    # improved-policy argmax, then to pass.
     viol = jax.vmap(superko_violation)(states, res.mcts_move)
     alt = jnp.argmax(
-        res.pi_improved.at[b, jnp.clip(res.mcts_move, 0, NUM_MOVES - 1)].set(-1.0),
+        res.pi_improved.at[b, jnp.clip(res.mcts_move, 0,
+                                       NUM_MOVES - 1)].set(-1.0),
         axis=-1).astype(jnp.int32)
     alt_viol = jax.vmap(superko_violation)(states, alt)
     move = jnp.where(viol, jnp.where(alt_viol, PASS_MOVE, alt), res.mcts_move)
-
-    # Raw-policy opening moves: sample directly from the masked NN prior
-    # for the first raw_until moves of a game (self_play_thread.cc:362-368,
-    # 527-533). The search result above is discarded for those boards.
-    sampling_raw = states.move_count < aux.raw_until
+    sampling_raw = states.move_count < raw_until
     raw_sample = jax.random.categorical(
         kraw, jnp.log(jnp.maximum(res.root_priors, 1e-30)),
         axis=-1).astype(jnp.int32)
     raw_viol = jax.vmap(superko_violation)(states, raw_sample)
     raw_sample = jnp.where(raw_viol, PASS_MOVE, raw_sample)
     move = jnp.where(sampling_raw, raw_sample, move)
+    over = jax.vmap(is_game_over)(states)
+    move = jnp.where(over, PASS_MOVE, move)
+    return move, sampling_raw, over
 
-    # Down-bad annealing of the training-selection probability
-    # (self_play_thread.cc:436-537): after 5 consecutive moves with
-    # |root qz| past 0.9, anneal selection by down_bad_coeff^2.
+
+def _selection_state(res, pre, aux: SelfplayAux, sampling_raw, cfg,
+                     calib, sel_mult_base):
+    """Down-bad annealing + sel_mult of the training-selection probability
+    (self_play_thread.cc:436-537, :473-499).
+
+    Returns (keep_prob, sel_modifier, sel_mult, down_bad_count)."""
+    from p3achygo_tpu.selfplay.move_sel import (
+        compute_move_sel,
+        default_calibration,
+    )
+
+    B = res.root_outcome.shape[0]
     qz = res.root_outcome
     is_bad = jnp.abs(qz) > DOWN_BAD_THRESHOLD
     down_bad_count = jnp.where(is_bad, aux.down_bad_count + 1, 0)
@@ -233,8 +218,6 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     coeff = jnp.clip((1.0 - jnp.abs(qz)) / (1.0 - DOWN_BAD_THRESHOLD), 0, 1)
     keep_prob = jnp.where(is_down_bad, coeff * coeff, 1.0)
 
-    # sel_mult: scale the selection probability by pre-search signals
-    # (self_play_thread.cc:473-499); raw-policy moves always use 1.
     if calib is None:
         calib = default_calibration()
     sel = compute_move_sel(pre.n_pre, pre.std_pre, pre.pre_kld,
@@ -246,12 +229,15 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     else:
         base = jnp.asarray(sel_mult_base, jnp.float32)
         sel_mult = jnp.where(base > 0, base * sel_modifier, 1.0)
-    trainable = (jnp.bool_(selected_tier) & ~sampling_raw
-                 & (jax.random.uniform(ksel, (B,)) < keep_prob * sel_mult))
+    return keep_prob, sel_modifier, sel_mult, down_bad_count
 
-    over = jax.vmap(is_game_over)(states)
-    move = jnp.where(over, PASS_MOVE, move)
 
+def _record_and_advance(states: GoState, buf: GameBuffer, res, move,
+                        sampling_raw, over, pre, nn_q_root, nn_unc_root,
+                        trainable, keep_prob, sel_modifier, cfg):
+    """Write per-move records for active boards and step the batch."""
+    B = states.stones.shape[0]
+    b = jnp.arange(B)
     t = jnp.clip(states.move_count, 0, cfg.max_game_len - 1)
     active = ~over
     wr = lambda arr, val, dtype=None: arr.at[b, t].set(
@@ -276,8 +262,7 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
         # the reused tree.
         sampled_raw=buf.sampled_raw.at[b, t].set(
             jnp.where(active, sampling_raw, buf.sampled_raw[b, t])),
-        nn_q=wr(buf.nn_q, work_tree.init_util[:, 0]
-                if work_tree is not None else pre.nn_q),
+        nn_q=wr(buf.nn_q, nn_q_root),
         mcts_q=wr(buf.mcts_q, pre.q_pre),
         nn_mcts_diff=wr(buf.nn_mcts_diff, pre.nn_mcts_diff),
         v_stddev=wr(buf.v_stddev, pre.std_pre),
@@ -285,9 +270,7 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
             jnp.where(res.root_priors > 0,
                       res.root_priors * jnp.log(res.root_priors + 1e-10),
                       0.0), axis=-1)),
-        nn_uncertainty=wr(buf.nn_uncertainty,
-                          work_tree.init_err[:, 0]
-                          if work_tree is not None else pre.nn_uncertainty),
+        nn_uncertainty=wr(buf.nn_uncertainty, nn_unc_root),
         pre_kld=wr(buf.pre_kld, pre.pre_kld),
         sel_mult_modifier=wr(buf.sel_mult_modifier, sel_modifier),
         sel_weight=wr(buf.sel_weight, keep_prob),
@@ -301,11 +284,171 @@ def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
         lambda new, old: jnp.where(
             jnp.reshape(active, (B,) + (1,) * (new.ndim - 1)), new, old),
         new_states, states)
-    aux = SelfplayAux(raw_until=aux.raw_until, down_bad_count=down_bad_count)
+    return states, buf
+
+
+def selfplay_step(states: GoState, buf: GameBuffer, aux: SelfplayAux,
+                  key: jax.Array, eval_fn: EvalFn, params: SearchParams,
+                  cfg: SelfplayConfig, selected_tier: bool,
+                  reuse_tree=None, reuse_capacity: int = 0,
+                  calib=None, sel_mult_base=None):
+    """One lockstep move for the whole batch.
+
+    `selected_tier` (static) marks this step as a full-search step; only
+    selected-tier, non-raw-policy, non-down-bad-suppressed moves become
+    trainable records (kMoveSelectedForTrainingProb semantics applied as a
+    batch-global tier flip by the caller + per-board annealing here,
+    self_play_thread.cc:509-537).
+
+    `calib` (SelMultCalibration) and `sel_mult_base` (traced f32 scalar,
+    <= 0 disables) scale the training-selection probability by the
+    sel_mult modifier computed from pre-search signals of the reused tree
+    (self_play_thread.cc:473-499); both are traced so per-generation
+    calibration never recompiles this program.
+    """
+    B = states.stones.shape[0]
+    key, ksearch, kraw, ksel = jax.random.split(key, 4)
+
+    # Pre-search root stats from the reused tree (self_play_thread.cc:
+    # 459-482) — must be read BEFORE the search mutates the root.
+    from p3achygo_tpu.mcts.gumbel import root_pre_stats
+
+    if reuse_tree is not None:
+        pre = root_pre_stats(reuse_tree, params.c_visit, params.c_scale)
+    else:
+        pre = _zero_pre_stats(B)
+
+    tau = tau_schedule(states.move_count, cfg)
+    if reuse_tree is not None:
+        res, work_tree = search_root(ksearch, states, eval_fn, params,
+                                     tau=tau, init_tree=reuse_tree,
+                                     reuse_capacity=reuse_capacity)
+    else:
+        res = search_root(ksearch, states, eval_fn, params, tau=tau)
+        work_tree = None
+
+    move, sampling_raw, over = _choose_move(states, res, aux.raw_until, kraw)
+    keep_prob, sel_modifier, sel_mult, down_bad_count = _selection_state(
+        res, pre, aux, sampling_raw, cfg, calib, sel_mult_base)
+    trainable = jnp.where(
+        aux.force_sel, ~sampling_raw,
+        jnp.bool_(selected_tier) & ~sampling_raw
+        & (jax.random.uniform(ksel, (B,)) < keep_prob * sel_mult))
+
+    nn_q_root = (work_tree.init_util[:, 0] if work_tree is not None
+                 else pre.nn_q)
+    nn_unc_root = (work_tree.init_err[:, 0] if work_tree is not None
+                   else pre.nn_uncertainty)
+    states, buf = _record_and_advance(states, buf, res, move, sampling_raw,
+                                      over, pre, nn_q_root, nn_unc_root,
+                                      trainable, keep_prob, sel_modifier, cfg)
+    aux = SelfplayAux(raw_until=aux.raw_until, down_bad_count=down_bad_count,
+                      force_sel=jnp.zeros_like(aux.force_sel))
     if work_tree is not None:
         from p3achygo_tpu.mcts.tree import compact_subtree
 
         next_tree = compact_subtree(work_tree, move, reuse_capacity)
+        return states, buf, aux, next_tree, key
+    return states, buf, aux, key
+
+
+def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
+                         key: jax.Array, eval_fn: EvalFn,
+                         params_sel: SearchParams, params_fast: SearchParams,
+                         cfg: SelfplayConfig,
+                         reuse_tree=None, reuse_capacity: int = 0,
+                         calib=None, sel_mult_base=None):
+    """One lockstep move with PER-BOARD playout-cap randomization.
+
+    The reference picks a search tier per move per thread
+    (is_move_selected_for_training, self_play_thread.cc:544-548: selected
+    n=128/k=8 with prob 0.25, else fast n=32/k=5). Lockstep TPU mapping:
+    each step draws a fresh uniformly-random subset of exactly
+    round(B * trainable_move_prob) boards for the selected tier (sampling
+    without replacement instead of per-board coins — same marginal tier
+    distribution, fixed sub-batch shapes), gathers those boards + their
+    reuse trees into a compact sub-batch, and runs the two searches at
+    their OWN widths. Fast boards never pay for the selected program and
+    vice versa: per-step cost is 0.75*cost(fast) + 0.25*cost(selected)
+    instead of lockstep worst-case.
+
+    Deviations (documented): down-bad search-size annealing
+    (self_play_thread.cc:527-537) shrinks the selection PROBABILITY here,
+    not the per-board n (heterogeneous n inside a sub-batch would break
+    the static visit schedule); per-game randomized fast k / noise / FPU
+    (self_play_thread.cc:414-424) are not randomized per board.
+
+    Returns (states, buf, aux, next_tree, key) when reuse_tree is given,
+    else (states, buf, aux, key).
+    """
+    B = states.stones.shape[0]
+    B_sel = min(max(int(round(B * cfg.trainable_move_prob)), 1), B - 1)
+    key, kperm, ks1, ks2, kr1, kr2, ksel = jax.random.split(key, 7)
+    # Random permutation, with force-full-search boards (restart first
+    # moves, reuse_buffer.h kForceFullSearch) sorted into the selected
+    # subset ahead of the random draw.
+    rnd = jax.random.uniform(kperm, (B,))
+    perm = jnp.argsort(jnp.where(aux.force_sel, rnd - 2.0, rnd))
+    inv = jnp.argsort(perm)  # board b sits at lane inv[b] of the perm order
+    tau = tau_schedule(states.move_count, cfg)
+
+    from p3achygo_tpu.mcts.gumbel import root_pre_stats
+    from p3achygo_tpu.mcts.tree import compact_subtree
+
+    if reuse_tree is not None:
+        pre = root_pre_stats(reuse_tree, params_sel.c_visit,
+                             params_sel.c_scale)
+    else:
+        pre = _zero_pre_stats(B)
+
+    def run_tier(idx, params, ksearch, kraw):
+        take = lambda x: jnp.take(x, idx, axis=0)
+        st = jax.tree_util.tree_map(take, states)
+        if reuse_tree is not None:
+            tr = jax.tree_util.tree_map(take, reuse_tree)
+            res, work = search_root(ksearch, st, eval_fn, params,
+                                    tau=take(tau), init_tree=tr,
+                                    reuse_capacity=reuse_capacity)
+        else:
+            res = search_root(ksearch, st, eval_fn, params, tau=take(tau))
+            work = None
+        move, sampling_raw, over = _choose_move(st, res,
+                                                take(aux.raw_until), kraw)
+        if work is not None:
+            ntree = compact_subtree(work, move, reuse_capacity)
+            nn_q, nn_unc = work.init_util[:, 0], work.init_err[:, 0]
+        else:
+            ntree = None
+            nn_q, nn_unc = take(pre.nn_q), take(pre.nn_uncertainty)
+        return (res, move, sampling_raw, over, nn_q, nn_unc), ntree
+
+    out_sel, tree_sel = run_tier(perm[:B_sel], params_sel, ks1, kr1)
+    out_fast, tree_fast = run_tier(perm[B_sel:], params_fast, ks2, kr2)
+
+    # Scatter sub-batch results back to original board order.
+    unperm = lambda a, b_: jnp.take(jnp.concatenate([a, b_], axis=0), inv,
+                                    axis=0)
+    (res, move, sampling_raw, over, nn_q_root, nn_unc_root) = \
+        jax.tree_util.tree_map(unperm, out_sel, out_fast)
+    next_tree = (jax.tree_util.tree_map(unperm, tree_sel, tree_fast)
+                 if reuse_tree is not None else None)
+
+    is_sel = inv < B_sel
+    keep_prob, sel_modifier, sel_mult, down_bad_count = _selection_state(
+        res, pre, aux, sampling_raw, cfg, calib, sel_mult_base)
+    # Forced first moves are trainable regardless of the tier coin
+    # (force_first_move, self_play_thread.cc:541-545).
+    trainable = jnp.where(
+        aux.force_sel, ~sampling_raw,
+        is_sel & ~sampling_raw
+        & (jax.random.uniform(ksel, (B,)) < keep_prob * sel_mult))
+
+    states, buf = _record_and_advance(states, buf, res, move, sampling_raw,
+                                      over, pre, nn_q_root, nn_unc_root,
+                                      trainable, keep_prob, sel_modifier, cfg)
+    aux = SelfplayAux(raw_until=aux.raw_until, down_bad_count=down_bad_count,
+                      force_sel=jnp.zeros_like(aux.force_sel))
+    if next_tree is not None:
         return states, buf, aux, next_tree, key
     return states, buf, aux, key
 
@@ -320,21 +463,29 @@ def final_scores(states: GoState):
 
 
 def reset_finished(states: GoState, buf: GameBuffer, aux: SelfplayAux,
-                   done: jnp.ndarray, komi: float, key: jax.Array,
+                   done: jnp.ndarray, komi, key: jax.Array,
                    init_states: Optional[GoState] = None,
                    use_init: Optional[jnp.ndarray] = None,
                    max_raw_policy_moves: int = 30,
-                   reuse_tree=None):
+                   reuse_tree=None,
+                   no_raw: Optional[jnp.ndarray] = None,
+                   force_sel: Optional[jnp.ndarray] = None):
     """Replace finished boards with fresh games (or GoExploit reuse starts)
     and clear their records.
 
+    `komi` is a scalar or a per-board [B] array (fresh-game komi
+    randomization / handicap komi, GetInitState self_play_thread.cc:205-240).
     `init_states`/`use_init` optionally supply per-board restart positions
     from the reuse buffer (GetInitState, self_play_thread.cc:203-254). The
     raw-policy opening length for restarted boards decays with the start
-    move number with a half-life of 40 moves (self_play_thread.cc:362-366).
+    move number with a half-life of 40 moves (self_play_thread.cc:362-366);
+    `no_raw` marks boards whose restart behavior forbids raw-policy
+    sampling, and `force_sel` forces a full search + trainable first move
+    (FirstMoveBehavior kPlay / kForceFullSearch, reuse_buffer.h:19-26).
     """
     B = states.stones.shape[0]
-    repl = jax.vmap(lambda _: new_state(komi))(jnp.arange(B))
+    komi_arr = jnp.broadcast_to(jnp.asarray(komi, jnp.float32), (B,))
+    repl = jax.vmap(new_state)(komi_arr)
     if init_states is not None:
         sel = done & use_init
         repl = jax.tree_util.tree_map(
@@ -357,9 +508,15 @@ def reset_finished(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     new_raw = jnp.floor(
         jax.random.uniform(key, (B,)) * (max_raw + 1).astype(jnp.float32)
     ).astype(jnp.int32)
+    if no_raw is not None:
+        new_raw = jnp.where(no_raw, 0, new_raw)
+    new_force = aux.force_sel
+    if force_sel is not None:
+        new_force = jnp.where(done, force_sel, aux.force_sel)
     aux = SelfplayAux(
         raw_until=jnp.where(done, states.move_count + new_raw, aux.raw_until),
         down_bad_count=jnp.where(done, 0, aux.down_bad_count),
+        force_sel=new_force,
     )
     if reuse_tree is not None:
         from p3achygo_tpu.mcts.tree import make_tree

@@ -133,3 +133,88 @@ class TestGumbelMechanics:
         states = batch_states(2)
         res = f(jax.random.PRNGKey(0), states)
         assert res.mcts_move.shape == (2,)
+
+
+class TestEarlyStopping:
+    """Early stopping + over-search (gumbel.cc:326-352, :397-409)."""
+
+    def _sharp_eval_fn(self, states):
+        # Strong prior AND strong value agreement on GOOD: search should
+        # converge immediately once min-visit gating is met.
+        B = states.stones.shape[0]
+        v_black = jnp.where(states.stones[:, GOOD] == BLACK, 0.95, -0.95)
+        value = v_black * jnp.where(states.to_move == BLACK, 1.0, -1.0)
+        logits = jnp.zeros((B, NUM_MOVES)).at[:, GOOD].set(8.0)
+        return EvalOutput(
+            log_priors=jax.nn.log_softmax(logits, axis=-1),
+            outcome_value=value,
+            score_est=jnp.zeros((B,)),
+            score_var=jnp.zeros((B,)),
+        )
+
+    def test_early_stop_spends_fewer_visits(self):
+        states = batch_states(2)
+        # n=128 k=2: one round, v=64; checks every 16 visits. The sharp
+        # evaluator separates GOOD from the rest quickly, so the search
+        # should stop well before 64 visits/action.
+        base = SearchParams(n=128, k=2, noise_scale=0.0, tau=0.0)
+        es = SearchParams(n=128, k=2, noise_scale=0.0, tau=0.0,
+                          early_stopping=True)
+        r0 = search_root(jax.random.PRNGKey(0), states, self._sharp_eval_fn,
+                         base)
+        r1 = search_root(jax.random.PRNGKey(0), states, self._sharp_eval_fn,
+                         es)
+        v0 = np.asarray(r0.visits)
+        v1 = np.asarray(r1.visits)
+        assert (v1 < v0).all(), (v0, v1)
+        # min-visit gating: every live candidate needs >= 10 visits first.
+        assert (v1 >= 2 * 10).all()
+        # Same winning move either way.
+        assert np.asarray(r1.mcts_move).tolist() == np.asarray(
+            r0.mcts_move).tolist()
+
+    def test_early_stop_preserves_budget_when_uncertain(self):
+        # Uniform evaluator: zero variance everywhere -> Q CIs collapse but
+        # values are IDENTICAL, so bot_ucb == top_lcb and stopping is legal
+        # at the first check; the point is the mechanism doesn't crash and
+        # visits never exceed the base budget.
+        states = batch_states(2)
+        es = SearchParams(n=32, k=4, noise_scale=0.0, tau=0.0,
+                          early_stopping=True)
+        r = search_root(jax.random.PRNGKey(1), states, uniform_eval_fn, es)
+        assert (np.asarray(r.visits) <= 32).all()
+
+    def test_over_search_extends_budget(self):
+        # High-variance evaluator: value flips sign with the parity of the
+        # number of stones, so child Q estimates stay noisy and the
+        # confidence check keeps failing -> over-search runs past the base
+        # budget (up to 2.5x).
+        def noisy_eval_fn(states):
+            B = states.stones.shape[0]
+            parity = (jnp.sum(jnp.abs(states.stones), axis=1) % 3).astype(
+                jnp.float32)
+            value = (parity - 1.0) * 0.9
+            return EvalOutput(
+                log_priors=jnp.full((B, NUM_MOVES),
+                                    -jnp.log(float(NUM_MOVES))),
+                outcome_value=value,
+                score_est=jnp.zeros((B,)),
+                score_var=jnp.zeros((B,)),
+            )
+
+        states = batch_states(2)
+        base = SearchParams(n=32, k=2, noise_scale=0.0, tau=0.0)
+        ov = SearchParams(n=32, k=2, noise_scale=0.0, tau=0.0,
+                          over_search=True)
+        r0 = search_root(jax.random.PRNGKey(0), states, noisy_eval_fn, base)
+        r1 = search_root(jax.random.PRNGKey(0), states, noisy_eval_fn, ov)
+        assert (np.asarray(r1.visits) > np.asarray(r0.visits)).all()
+        assert (np.asarray(r1.visits) <= int(32 * 2.5)).all()
+
+    def test_early_stop_jit_compiles(self):
+        states = batch_states(2)
+        es = SearchParams(n=32, k=4, noise_scale=0.0, tau=0.0,
+                          early_stopping=True)
+        f = jax.jit(lambda key, s: search_root(key, s, uniform_eval_fn, es))
+        r = f(jax.random.PRNGKey(0), states)
+        assert np.asarray(r.mcts_move).shape == (2,)
