@@ -10,6 +10,7 @@ export lives in p3achygo_tpu.data.tfrecord for offline parity.
 """
 from __future__ import annotations
 
+import json
 from typing import Dict, Optional
 
 import numpy as np
@@ -91,3 +92,34 @@ class ReplayBuffer:
         chosen = self._rng.choice(window, size=batch_size, replace=True, p=p)
         sel = idx[chosen]
         return {name: arr[sel] for name, arr in self._data.items()}
+
+    # ---- persistence (resume support; fs_utils.py:37-65 rediscovers data
+    # from disk on restart — here the ring itself is the store) ----
+    def save(self, path: str):
+        """Write the valid region + counters + rng state to an .npz."""
+        size = self._size
+        start = (self._write - size) % self.capacity
+        idx = (start + np.arange(size)) % self.capacity
+        arrays = {name: arr[idx] for name, arr in self._data.items()}
+        meta = json.dumps({
+            "size": size,
+            "total_added": self.total_added,
+            "games_added": self.games_added,
+            "rng_state": self._rng.bit_generator.state,
+        })
+        np.savez(path, __meta__=np.frombuffer(meta.encode(), np.uint8),
+                 **arrays)
+
+    def load(self, path: str):
+        """Restore from `save`; rows land at the head of the ring."""
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode())
+            size = min(int(meta["size"]), self.capacity)
+            for name in self._data:
+                rows = z[name][-size:]
+                self._data[name][:size] = rows
+        self._write = size % self.capacity
+        self._size = size
+        self.total_added = int(meta["total_added"])
+        self.games_added = int(meta["games_added"])
+        self._rng.bit_generator.state = meta["rng_state"]

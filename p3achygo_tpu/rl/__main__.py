@@ -17,6 +17,8 @@ def main():
                     help="override num_generations")
     ap.add_argument("--sgf-dir", default="")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-resume", action="store_true",
+                    help="start fresh even if run-dir has resume state")
     args = ap.parse_args()
 
     import jax
@@ -30,9 +32,13 @@ def main():
     cfg = parse(args.config)
     gens = args.gens or cfg.num_generations
     loop = GenerationLoop(cfg, root_dir=args.run_dir, seed=args.seed)
+    # Elastic recovery (train_sp_eval.py:213-215 + fs_utils.py:25-65): a
+    # restarted process picks the run up from the last completed generation.
+    if not args.no_resume and loop.try_resume():
+        print(json.dumps({"resumed_at_gen": loop.gen}), flush=True)
     if args.sgf_dir:
         loop.sgf_dir = args.sgf_dir
-    for _ in range(gens):
+    while loop.gen < gens:
         t0 = time.time()
         info = loop.run_generation()
         info["wall_s"] = round(time.time() - t0, 1)

@@ -62,10 +62,18 @@ from p3achygo_tpu.selfplay.stats import (
     write_calibration_file,
     write_stats_file,
 )
-from p3achygo_tpu.train.checkpoint import save_checkpoint
+from p3achygo_tpu.train.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    save_named,
+)
 from p3achygo_tpu.train.lr_schedule import lr_for_gen
 from p3achygo_tpu.train.optimizer import conv_muon, sgd_nesterov
-from p3achygo_tpu.train.step import create_train_state, make_train_step
+from p3achygo_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
 from p3achygo_tpu.train.swa import (
     SnapshotManager,
     make_bn_fwd,
@@ -191,9 +199,11 @@ class GenerationLoop:
         cfg = self.sp_cfg
         n_s, k_s = gumbel_params_for_gen(self.cfg, self.gen, selected=True)
         n_f, k_f = gumbel_params_for_gen(self.cfg, self.gen, selected=False)
-        params_sel = SearchParams(n=n_s, k=k_s, noise_scale=1.0, max_depth=24)
+        es = self.cfg.early_stopping_enabled
+        params_sel = SearchParams(n=n_s, k=k_s, noise_scale=1.0, max_depth=24,
+                                  early_stopping=es)
         params_fast = SearchParams(n=n_f, k=k_f, noise_scale=1.0,
-                                   max_depth=24)
+                                   max_depth=24, early_stopping=es)
         if self.tree is not None:
             @jax.jit
             def sp_step(states, buf, aux, tree, key, golden, calib,
@@ -459,7 +469,7 @@ class GenerationLoop:
         return {f"val_{k}": v / num_batches for k, v in totals.items()}
 
     # ---------------- eval + promotion ----------------
-    def evaluate_candidate(self, swa: bool = True):
+    def build_candidate(self, swa: bool = True) -> dict:
         cand_params = self.snapshots.final(self.train_state.params) if swa \
             else self.train_state.params
         cand_bs = self.train_state.batch_stats
@@ -471,7 +481,12 @@ class GenerationLoop:
             cand_bs = recompute_batch_stats(
                 self.model, cand_params, cand_bs, self._bn_batches(passes),
                 num_passes=passes, fwd_fn=self._bn_fwd)
-        cand = {"params": cand_params, "batch_stats": cand_bs}
+        return {"params": cand_params, "batch_stats": cand_bs}
+
+    def evaluate_candidate(self, swa: bool = True,
+                           cand: Optional[dict] = None):
+        if cand is None:
+            cand = self.build_candidate(swa)
         if not hasattr(self, "_eval_runner"):
             ev_cfg = EvalConfig(
                 num_games=self.cfg.eval_games,
@@ -527,7 +542,12 @@ class GenerationLoop:
         promoted = True
         elo = 0.0
         if eval_gating:
-            res, cand = self.evaluate_candidate()
+            cand = self.build_candidate()
+            # Candidate-first checkpointing (train_sp_eval.py:213-215: the
+            # model is uploaded BEFORE eval so a crash during gating never
+            # loses the training work).
+            save_named(self.root, "cand", cand)
+            res, _ = self.evaluate_candidate(cand=cand)
             elo = res.elo
             promoted = res.elo > 0
             if promoted:
@@ -547,8 +567,71 @@ class GenerationLoop:
             "params": self.golden["params"],
             "batch_stats": self.golden["batch_stats"],
             "step": self.train_state.step,
-        })
+        }, live=False)
         with open(os.path.join(self.root, "elo_history.txt"), "a") as f:
             f.write(f"{self.gen} {elo:.2f} {int(promoted)}\n")
+        self.save_resume()
         return dict(gen=self.gen, games=games, elo=elo, promoted=promoted,
                     selfplay_s=sp_t, train_s=train_t, **losses)
+
+    # ---------------- resume (elastic recovery) ----------------
+    # The reference rediscovers run state from GCS on restart
+    # (fs_utils.py:25-65 get_most_recent_model + train_sp_eval.py:213-215);
+    # here the generation boundary is the durable point: full train state +
+    # golden + replay ring land on disk after every generation, and
+    # `try_resume` picks the run back up from there. In-flight selfplay
+    # games at crash time are lost, matching the reference's thread games.
+    def _resume_template(self) -> dict:
+        return {
+            "params": self.train_state.params,
+            "batch_stats": self.train_state.batch_stats,
+            "opt_state": self.train_state.opt_state,
+            "step": self.train_state.step,
+            "golden_params": self.golden["params"],
+            "golden_batch_stats": self.golden["batch_stats"],
+            "key": self.key,
+            "sel_mult_base": self.sel_mult_base,
+        }
+
+    def save_resume(self):
+        save_named(self.root, "live", self._resume_template())
+        self.replay.save(os.path.join(self.root, "replay.npz"))
+        self.val_replay.save(os.path.join(self.root, "val_replay.npz"))
+        meta = {"gen": self.gen,
+                "np_rng_state": self._np_rng.bit_generator.state}
+        tmp = os.path.join(self.root, "resume_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.root, "resume_meta.json"))
+
+    def try_resume(self) -> bool:
+        """Restore run state saved by `save_resume`; returns True if the
+        loop was resumed (self.gen advanced past 0)."""
+        meta_path = os.path.join(self.root, "resume_meta.json")
+        live_path = os.path.join(self.root, "live")
+        if not (os.path.exists(meta_path) and os.path.isdir(live_path)):
+            return False
+        with open(meta_path) as f:
+            meta = json.load(f)
+        state = restore_checkpoint(live_path, self._resume_template())
+        self.train_state = TrainState(
+            params=state["params"], batch_stats=state["batch_stats"],
+            opt_state=state["opt_state"], step=state["step"])
+        self.golden = {"params": state["golden_params"],
+                       "batch_stats": state["golden_batch_stats"]}
+        self.key = state["key"]
+        self.sel_mult_base = state["sel_mult_base"]
+        self.gen = int(meta["gen"])
+        self._np_rng.bit_generator.state = meta["np_rng_state"]
+        for buf, fname in ((self.replay, "replay.npz"),
+                          (self.val_replay, "val_replay.npz")):
+            path = os.path.join(self.root, fname)
+            if os.path.exists(path):
+                buf.load(path)
+        # sel_mult calibration comes back from the on-disk .stats files
+        # (sp_loop.py:140-157), exactly as _flush_stats derives it.
+        calib = compute_calibration(self.stats_dir, self.gen)
+        if calib is not None:
+            self.calib = calibration_from_dict(calib)
+        self._sp_steps = None  # rebind: n/k may differ at the resumed gen
+        return True

@@ -16,19 +16,22 @@ def _ckpt(path: str):
     return ocp.StandardCheckpointer()
 
 
-def save_checkpoint(root: str, gen: int, tree: Any, live: bool = True) -> str:
-    """Save `tree` as model_%04d (and update `live`)."""
+def save_named(root: str, name: str, tree: Any) -> str:
+    """Save `tree` under root/name (overwrites)."""
     root = os.path.abspath(root)
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, MODEL_FMT % gen)
+    path = os.path.join(root, name)
     ckptr = _ckpt(path)
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
+    return path
+
+
+def save_checkpoint(root: str, gen: int, tree: Any, live: bool = True) -> str:
+    """Save `tree` as model_%04d (and update `live`)."""
+    path = save_named(root, MODEL_FMT % gen, tree)
     if live:
-        live_path = os.path.join(root, LIVE_NAME)
-        live_ckptr = _ckpt(live_path)
-        live_ckptr.save(live_path, tree, force=True)
-        live_ckptr.wait_until_finished()
+        save_named(root, LIVE_NAME, tree)
     return path
 
 
