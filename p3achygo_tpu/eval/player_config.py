@@ -22,6 +22,10 @@ class PlayerSearchConfig:
     tau: float = 0.0
     noise_scale: float = 0.0
     score_weight: float = 0.5
+    # MCGS graph search (use_mcgs, player_config.h + node_table.h:78-120).
+    use_mcgs: bool = False
+    # Grouped visits (SearchParams.visit_group; 1 = reference semantics).
+    visit_group: int = 1
     # puct knobs
     c_puct: float = 1.0
     c_puct_visit_scaling: float = 0.45
@@ -35,7 +39,9 @@ class PlayerSearchConfig:
         return SearchParams(n=self.n, k=self.k, tau=self.tau,
                             noise_scale=self.noise_scale,
                             score_weight=self.score_weight,
-                            max_depth=self.max_depth)
+                            max_depth=self.max_depth,
+                            use_mcgs=self.use_mcgs,
+                            visit_group=self.visit_group)
 
     def to_puct_params(self) -> PuctParams:
         return PuctParams(n=self.n, c_puct=self.c_puct,

@@ -64,7 +64,8 @@ class RunConfig:
     # TPU-side extras (not in reference configs)
     selfplay_batch_size: int = 256
     train_batch_size: int = 256
-    eval_games: int = 64
+    # Reference gating protocol: 100 games (train_sp_eval.py:31-33).
+    eval_games: int = 100
     eval_max_game_len: int = 600
     selfplay_max_game_len: int = 600
     replay_capacity: int = 1 << 20
@@ -93,6 +94,9 @@ class RunConfig:
     # search stops a round early at 95% confidence; over-search extends
     # trainable moves' budget up to 2.5x with prob kOverSearchNodeProb.
     early_stopping_enabled: bool = False
+    # Grouped visits (SearchParams.visit_group): run g of a round's visits
+    # per sweep with frozen within-group stats; 1 = reference semantics.
+    visit_group: int = 4
 
 
 def gumbel_params_for_gen(cfg: RunConfig, gen: int,
@@ -111,6 +115,16 @@ def gumbel_params_for_gen(cfg: RunConfig, gen: int,
     n, k = int(round(n)), int(round(k))
     # clamp so the final halving round has at least 1 visit per action
     return max(n, 2 * k), max(k, 2)
+
+
+def eval_n_for_gen(cfg: RunConfig, gen: int) -> int:
+    """Linear eval-n growth min_eval_n -> eval_n over eval_n_growth_window
+    generations (get_eval_n, train_sp_eval.py:70-74)."""
+    if cfg.eval_n_growth_window <= 0:
+        return cfg.eval_n
+    c = min(gen / cfg.eval_n_growth_window, 1.0)
+    n = int(round(cfg.min_eval_n + c * (cfg.eval_n - cfg.min_eval_n)))
+    return max(n, 2 * cfg.eval_k)
 
 
 def parse(path_or_id: str, config_dir: str = "config") -> RunConfig:

@@ -28,7 +28,11 @@ from p3achygo_tpu.eval.harness import EvalConfig, EvalRunner
 from p3achygo_tpu.game.board import new_state
 from p3achygo_tpu.mcts.gumbel import SearchParams, make_eval_fn
 from p3achygo_tpu.models import LossCoeffs, build_model, get_config, init_params
-from p3achygo_tpu.rl.config import RunConfig, gumbel_params_for_gen
+from p3achygo_tpu.rl.config import (
+    RunConfig,
+    eval_n_for_gen,
+    gumbel_params_for_gen,
+)
 from p3achygo_tpu.selfplay.loop import (
     SelfplayConfig,
     final_scores,
@@ -120,6 +124,12 @@ class GenerationLoop:
         self._prepare = jax.jit(partial(prepare_batch, augment=True))
         self._prepare_val = jax.jit(partial(prepare_batch, augment=False))
         self._score_fn = jax.jit(final_scores)
+        from p3achygo_tpu.game.scoring import refresh_pass_alive
+
+        # In-game pass-alive move bans: recompute Benson regions at the
+        # reference's checkpoints (kComputePAMoveNums + >= 3 passes),
+        # polled on a host cadence (scoring.refresh_pass_alive).
+        self._pa_refresh = jax.jit(lambda s: refresh_pass_alive(s))
         self._bn_fwd = make_bn_fwd(self.model)
 
         @jax.jit
@@ -200,10 +210,12 @@ class GenerationLoop:
         n_s, k_s = gumbel_params_for_gen(self.cfg, self.gen, selected=True)
         n_f, k_f = gumbel_params_for_gen(self.cfg, self.gen, selected=False)
         es = self.cfg.early_stopping_enabled
+        vg = max(self.cfg.visit_group, 1)
         params_sel = SearchParams(n=n_s, k=k_s, noise_scale=1.0, max_depth=24,
-                                  early_stopping=es)
+                                  early_stopping=es, visit_group=vg)
         params_fast = SearchParams(n=n_f, k=k_f, noise_scale=1.0,
-                                   max_depth=24, early_stopping=es)
+                                   max_depth=24, early_stopping=es,
+                                   visit_group=vg)
         if self.tree is not None:
             @jax.jit
             def sp_step(states, buf, aux, tree, key, golden, calib,
@@ -243,6 +255,10 @@ class GenerationLoop:
                                    self.key, self.golden,
                                    self.calib, self.sel_mult_base)
             plies += 1
+            # Pass-alive checkpoint poll (self_play_thread.cc:701-705 +
+            # board.cc:587-590), amortized over PA_POLL_PLIES moves.
+            if plies % 8 == 0:
+                self.states = self._pa_refresh(self.states)
             # Harvest in batches: scoring a finished game runs full Benson
             # over the whole lockstep batch, so amortize it (finished
             # boards stay frozen until reset).
@@ -487,13 +503,18 @@ class GenerationLoop:
                            cand: Optional[dict] = None):
         if cand is None:
             cand = self.build_candidate(swa)
-        if not hasattr(self, "_eval_runner"):
+        # Eval n grows min_eval_n -> eval_n over eval_n_growth_window
+        # (get_eval_n, train_sp_eval.py:70-74); rebind the runner (and its
+        # compiled ply programs) only when n actually changes.
+        n_e = eval_n_for_gen(self.cfg, self.gen)
+        if getattr(self, "_eval_n", None) != n_e:
             ev_cfg = EvalConfig(
                 num_games=self.cfg.eval_games,
                 max_game_len=self.cfg.eval_max_game_len,
-                search=SearchParams(n=self.cfg.eval_n, k=self.cfg.eval_k,
+                search=SearchParams(n=n_e, k=self.cfg.eval_k,
                                     noise_scale=0.0, tau=0.0))
             self._eval_runner = EvalRunner(self.model, ev_cfg)
+            self._eval_n = n_e
         self.key, ke = jax.random.split(self.key)
         res = self._eval_runner.run(ke, cand, self.golden)
         return res, cand

@@ -72,6 +72,54 @@ def test_resignation_decides_games():
     assert res.cand_wins == 2.0
 
 
+def test_eval_puct_dispatch():
+    """search_type='puct' in a player config actually drives the PUCT
+    program in the harness (eval.cc:230-268 dispatch)."""
+    from p3achygo_tpu.eval.player_config import PlayerSearchConfig
+
+    cfg = EvalConfig(
+        num_games=4, max_game_len=12,
+        search=SearchParams(n=4, k=2, noise_scale=0.0, tau=0.0, max_depth=6),
+        cand=PlayerSearchConfig(search_type="puct", n=4, max_depth=6),
+        cur=PlayerSearchConfig(search_type="gumbel", n=4, k=2,
+                               noise_scale=0.0, max_depth=6))
+    res = run_eval(jax.random.PRNGKey(3), _center_loving_eval,
+                   uniform_eval_fn, cfg)
+    assert res.num_games == 4
+    assert 0.0 <= res.winrate <= 1.0
+
+
+def test_eval_tree_reuse_runs_and_matches_protocol():
+    """Per-player tree reuse across plies (eval.cc:330-358) executes and
+    produces a decided result; reuse-off still works."""
+    cfg_on = EvalConfig(
+        num_games=4, max_game_len=16, tree_reuse=True,
+        search=SearchParams(n=4, k=2, noise_scale=0.0, tau=0.0, max_depth=8))
+    cfg_off = EvalConfig(
+        num_games=4, max_game_len=16, tree_reuse=False,
+        search=SearchParams(n=4, k=2, noise_scale=0.0, tau=0.0, max_depth=8))
+    r_on = run_eval(jax.random.PRNGKey(4), _center_loving_eval,
+                    uniform_eval_fn, cfg_on)
+    r_off = run_eval(jax.random.PRNGKey(4), _center_loving_eval,
+                     uniform_eval_fn, cfg_off)
+    for r in (r_on, r_off):
+        assert r.num_games == 4
+        assert 0.0 <= r.winrate <= 1.0
+
+
+def test_eval_n_growth():
+    from p3achygo_tpu.rl.config import RunConfig, eval_n_for_gen
+
+    cfg = RunConfig(eval_n=128, min_eval_n=16, eval_n_growth_window=10,
+                    eval_k=2)
+    assert eval_n_for_gen(cfg, 0) == 16
+    assert eval_n_for_gen(cfg, 10) == 128
+    assert eval_n_for_gen(cfg, 100) == 128
+    assert 16 < eval_n_for_gen(cfg, 5) < 128
+    cfg2 = RunConfig(eval_n=128, eval_n_growth_window=0)
+    assert eval_n_for_gen(cfg2, 0) == 128
+
+
 def test_player_config_parsing():
     from p3achygo_tpu.eval.player_config import parse_player_config
 
