@@ -137,6 +137,119 @@ def child_visits(tree: Tree, node: jnp.ndarray,
     return nvis[:, 0] if node.ndim == 1 else nvis
 
 
+# ---------------------------------------------------------------------------
+# MCGS transposition table (McgsNodeTable, node_table.h:78-120): nodes keyed
+# by (zobrist hash, color to move, is_terminal) so transposed positions share
+# one node — the tree becomes a DAG whose node + out-edge statistics pool
+# visits from every transposing path. TPU mapping: a per-board open-addressed
+# hash table probed with exact one-hot contractions (generic per-row gathers
+# serialize on TPU; 16-bit key halves are exact in f32).
+#
+# Deviations (documented): inserts are deferred to the end of each k-wide
+# sweep, so two lanes reaching the same new position in one sweep create
+# duplicate nodes (a missed share, not an error — the reference's mutex
+# serializes these). Backprop stays incremental (the reference recomputes
+# node stats from children under MCGS, gumbel.cc:772-777); node/edge stats
+# remain exact visit sums, but ancestors do not see sibling-path updates.
+# ---------------------------------------------------------------------------
+
+MCGS_PROBES = 4
+
+
+class McgsTable(NamedTuple):
+    """Open-addressed per-board node table [B, S] (S = power of two)."""
+
+    key0: jnp.ndarray  # uint32[B, S] zobrist lane 0
+    key1: jnp.ndarray  # uint32[B, S] zobrist lane 1
+    meta: jnp.ndarray  # int8[B, S]: 0 empty, else color * (1 + is_terminal)
+    node: jnp.ndarray  # int32[B, S] node slot index
+
+
+def make_mcgs_table(batch_size: int, size: int) -> McgsTable:
+    assert size & (size - 1) == 0, "table size must be a power of two"
+    return McgsTable(
+        key0=jnp.zeros((batch_size, size), jnp.uint32),
+        key1=jnp.zeros((batch_size, size), jnp.uint32),
+        meta=jnp.zeros((batch_size, size), jnp.int8),
+        node=jnp.zeros((batch_size, size), jnp.int32),
+    )
+
+
+def mcgs_meta(color: jnp.ndarray, is_terminal: jnp.ndarray) -> jnp.ndarray:
+    """Key tag: color in {1,-1} x (1 + terminal) -> {1,-1,2,-2}; 0 = empty."""
+    return (color.astype(jnp.int8)
+            * (1 + is_terminal.astype(jnp.int8))).astype(jnp.int8)
+
+
+def _mcgs_slots(h0: jnp.ndarray, h1: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[W, P] linear probe sequence from the 2-lane hash."""
+    base = (h0 ^ (h1 * jnp.uint32(2654435761))).astype(jnp.uint32)
+    offs = jnp.arange(MCGS_PROBES, dtype=jnp.uint32)[None, :]
+    return ((base[:, None] + offs) & jnp.uint32(size - 1)).astype(jnp.int32)
+
+
+def mcgs_probe(table: McgsTable, k_r: int, h0: jnp.ndarray, h1: jnp.ndarray,
+               meta_q: jnp.ndarray):
+    """Lookup (hash, meta) for W = B * k_r lanes (lanes b-major).
+
+    Returns (hit [W] bool, node [W] int32, ins_slot [W] int32,
+    has_empty [W] bool); ins_slot is the first empty probed slot for a
+    subsequent insert.
+    """
+    B, S = table.key0.shape
+    W = h0.shape[0]
+    slots = _mcgs_slots(h0, h1, S)  # [W, P]
+    oh = jax.nn.one_hot(slots, S, dtype=jnp.float32).reshape(
+        B, k_r * MCGS_PROBES, S)  # [B, kP, S]
+    gsel = lambda arr: jnp.einsum(
+        "bps,bs->bp", oh, arr.astype(jnp.float32),
+        preferred_element_type=jnp.float32).reshape(W, MCGS_PROBES)
+    # 16-bit halves are exact in f32; one-hot selection keeps them exact.
+    g_k0lo = gsel(table.key0 & jnp.uint32(0xFFFF))
+    g_k0hi = gsel(table.key0 >> jnp.uint32(16))
+    g_k1lo = gsel(table.key1 & jnp.uint32(0xFFFF))
+    g_k1hi = gsel(table.key1 >> jnp.uint32(16))
+    g_meta = gsel(table.meta)
+    g_node = gsel(table.node)
+
+    q_k0lo = (h0 & jnp.uint32(0xFFFF)).astype(jnp.float32)[:, None]
+    q_k0hi = (h0 >> jnp.uint32(16)).astype(jnp.float32)[:, None]
+    q_k1lo = (h1 & jnp.uint32(0xFFFF)).astype(jnp.float32)[:, None]
+    q_k1hi = (h1 >> jnp.uint32(16)).astype(jnp.float32)[:, None]
+    q_meta = meta_q.astype(jnp.float32)[:, None]
+
+    hit_p = ((g_meta == q_meta) & (g_meta != 0.0)
+             & (g_k0lo == q_k0lo) & (g_k0hi == q_k0hi)
+             & (g_k1lo == q_k1lo) & (g_k1hi == q_k1hi))  # [W, P]
+    first_hit = hit_p & (jnp.cumsum(hit_p, axis=1) == 1)
+    hit = jnp.any(hit_p, axis=1)
+    node = jnp.sum(jnp.where(first_hit, g_node, 0.0),
+                   axis=1).astype(jnp.int32)
+
+    empty_p = g_meta == 0.0
+    first_empty = empty_p & (jnp.cumsum(empty_p, axis=1) == 1)
+    has_empty = jnp.any(empty_p, axis=1)
+    ins_slot = jnp.sum(jnp.where(first_empty, slots, 0), axis=1)
+    return hit, node, ins_slot, has_empty
+
+
+def mcgs_insert(table: McgsTable, k_r: int, slot: jnp.ndarray,
+                h0: jnp.ndarray, h1: jnp.ndarray, meta: jnp.ndarray,
+                node: jnp.ndarray, do: jnp.ndarray) -> McgsTable:
+    """Scatter-insert W lane entries; `do`=False lanes are dropped. Slot
+    collisions across lanes keep one arbitrary winner (missed share)."""
+    B, S = table.key0.shape
+    W = slot.shape[0]
+    bw = jnp.arange(W) // k_r
+    s = jnp.where(do, slot, S)  # out-of-bounds -> dropped
+    return McgsTable(
+        key0=table.key0.at[bw, s].set(h0, mode="drop"),
+        key1=table.key1.at[bw, s].set(h1, mode="drop"),
+        meta=table.meta.at[bw, s].set(meta, mode="drop"),
+        node=table.node.at[bw, s].set(node, mode="drop"),
+    )
+
+
 def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
     """Extract the subtree under root's child `action` into a fresh tree.
 
