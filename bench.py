@@ -50,8 +50,12 @@ def main():
 
     B = 1024
     cfg = SelfplayConfig(batch_size=B)
-    params_sel = SearchParams(n=128, k=8, noise_scale=1.0, max_depth=24)
-    params_fast = SearchParams(n=32, k=5, noise_scale=1.0, max_depth=24)
+    # Grouped visits (SearchParams.visit_group): the production default.
+    g = int(os.environ.get("BENCH_VISIT_GROUP", "4"))
+    params_sel = SearchParams(n=128, k=8, noise_scale=1.0, max_depth=24,
+                              visit_group=g)
+    params_fast = SearchParams(n=32, k=5, noise_scale=1.0, max_depth=24,
+                               visit_group=g)
 
     model = build_model(get_config("b12c128btl3"), dtype=jnp.bfloat16)
     variables = init_params(model, jax.random.PRNGKey(0))

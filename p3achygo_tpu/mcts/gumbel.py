@@ -50,7 +50,13 @@ from p3achygo_tpu.game.board import (
     legal_mask_batch,
     step,
 )
+from p3achygo_tpu.features import batched_features
 from p3achygo_tpu.game.scoring import score as score_board
+from p3achygo_tpu.game.symmetry import (
+    NUM_SYMMETRIES,
+    SYM_GATHER,
+    SYM_SCATTER,
+)
 from p3achygo_tpu.mcts.tree import (
     MAX_Q,
     MIN_Q,
@@ -59,7 +65,11 @@ from p3achygo_tpu.mcts.tree import (
     Tree,
     child_visits,
     compact_subtree,
+    make_mcgs_table,
     make_tree,
+    mcgs_insert,
+    mcgs_meta,
+    mcgs_probe,
     q_nvis_of_children,
     q_of_children,
     rows_by_node,
@@ -117,6 +127,23 @@ class SearchParams:
     early_stopping: bool = False
     over_search: bool = False
     search_confidence: float = 0.95
+    # MCGS graph search (McgsNodeTable, node_table.h:78-120): leaves probe a
+    # per-board (hash, color, terminal)-keyed transposition table before
+    # allocating, so transposed positions share one node and its stats pool
+    # across paths. See tree.py McgsTable for the TPU design + deviations.
+    use_mcgs: bool = False
+    # Grouped visits: run `visit_group` of a round's per-candidate visits in
+    # ONE k*g-wide sweep instead of g sequential sweeps. Within a group the
+    # tree statistics are FROZEN and the g visits are apportioned by the
+    # same greedy disparity rule the reference applies sequentially
+    # (gumbel.cc:214-237: argmax(pi - n/(1+sum)), with the visit/arrival
+    # counters advanced per assignment) — the deviation is that Q values do
+    # not refresh between the g visits of a group (they do between groups).
+    # Total visits per candidate per round are unchanged (v_r), so the
+    # sequential-halving budget (gumbel.cc:388-401) is exact. 1 = reference
+    # semantics; >1 divides the dominant per-move latency (descent sweeps)
+    # by ~g at slight search-quality cost.
+    visit_group: int = 1
 
 
 class GumbelResult(NamedTuple):
@@ -149,11 +176,12 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
     score_values = (jnp.arange(NUM_SCORE_LOGITS, dtype=jnp.float32)
                     - SCORE_INFLECTION_POINT + 0.5)
 
-    from p3achygo_tpu.game.symmetry import NUM_SYMMETRIES, SYM_GATHER, SYM_SCATTER
+    # Module-level imports (top of file): importing these INSIDE a traced
+    # function would stage their module-level constant tables onto the
+    # active trace the first time (leaked-tracer bug when make_eval_fn is
+    # first called under jit, e.g. by EvalRunner's step programs).
 
     def eval_fn(states: GoState) -> EvalOutput:
-        from p3achygo_tpu.features import batched_features
-
         planes, scalars = batched_features(states, include_ladders)
         if symmetrize:
             sym = (states.hash[:, 0] % 8).astype(jnp.int32)  # [B]
@@ -390,6 +418,36 @@ def _nonroot_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
     return jnp.argmax(jnp.where(legal, disparity, _BIG_NEG), axis=-1).astype(jnp.int32)
 
 
+def _grouped_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
+                    c_visit: float, c_scale: float, rank: jnp.ndarray,
+                    g: int, bidx: jnp.ndarray) -> jnp.ndarray:
+    """Greedy multi-visit apportionment of the disparity rule.
+
+    The reference assigns a round's visits one at a time, each picking
+    argmax(pi - n_a / (1 + sum_children)) with the node's counters advanced
+    by the previous assignments (gumbel.cc:214-237 applied per visit).
+    With FROZEN pi/Q, that sequential assignment is deterministic, so the
+    t-th arrival's action is computable in parallel: unroll the g
+    assignment steps over a scratch visit-count delta and give each lane
+    the action of its arrival `rank` at the node. Exactly _nonroot_action
+    when g == 1.
+    """
+    pi, nvis, sum_children = _improved_policy_flat(tree, node, c_visit,
+                                                   c_scale, bidx)
+    nvisf = nvis.astype(jnp.float32)
+    extra = jnp.zeros_like(pi)
+    out = jnp.zeros((node.shape[0],), jnp.int32)
+    for t in range(g):
+        disparity = pi - (nvisf + extra) \
+            / (1.0 + sum_children + float(t))[:, None]
+        a_t = jnp.argmax(jnp.where(legal, disparity, _BIG_NEG),
+                         axis=-1).astype(jnp.int32)
+        out = jnp.where(rank == t, a_t, out)
+        if t < g - 1:
+            extra = extra + jax.nn.one_hot(a_t, NUM_MOVES, dtype=pi.dtype)
+    return out
+
+
 class RootPreStats(NamedTuple):
     """Pre-search root statistics from a reused tree, feeding sel_mult and
     the .stats pipeline (self_play_thread.cc:459-482)."""
@@ -475,16 +533,27 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
     schedule = []  # (round, slot) per simulation
     k_r, total_sims = k, 0
     round_specs = []
+    max_alloc = 0
     while k_r > 1:
         v_r = int(round(n / (num_rounds * k_r)))
         v_r = max(v_r, 1)
         round_specs.append((k_r, v_r))
         total_sims += v_r * k_r
+        # Allocation bound per round: over-search raises the visit budget
+        # to 2.5x (gumbel.cc:397-409) and a grouped final sweep can
+        # overshoot the budget by up to g-1 visits per candidate; the node
+        # arrays must cover the worst case or scatters silently drop
+        # (see compact_subtree clamp note).
+        budget_r = v_r * 5 // 2 if params.over_search else v_r
+        g_r = max(1, min(params.visit_group, v_r))
+        over = (g_r - 1) if (params.early_stopping or params.over_search) \
+            else 0
+        max_alloc += (budget_r + over) * k_r
         k_r //= 2
     theoretical_winner_visits = sum(v for _, v in round_specs)
 
-    max_nodes = total_sims + 2 + (reuse_capacity if init_tree is not None
-                                  else 0)
+    max_nodes = max_alloc + 2 + (reuse_capacity if init_tree is not None
+                                 else 0)
     tree = make_tree(B, max_nodes)
     if init_tree is not None:
         R = init_tree.n.shape[1]
@@ -588,23 +657,32 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
     # of all W-proportional work on dead lanes).
     spare = max_nodes - 1  # reserved dummy slot for inactive-lane scatters
 
-    def one_sweep(tree, k_r, cand_actions, cand_valid, stopped=None):
-        """One k_r-wide visit sweep (every live candidate gets one sim).
+    def one_sweep(tree, k_r, cand_actions, cand_valid, stopped=None,
+                  mcgs=None, group=1):
+        """One (k_r*group)-wide visit sweep: every live candidate gets
+        `group` sims at once (see SearchParams.visit_group).
 
         `stopped` [B] marks boards whose round ended early — their lanes
-        go inactive (no visits, no tree writes)."""
-        W = B * k_r
-        bw = jnp.arange(W) // k_r  # board index per lane
+        go inactive (no visits, no tree writes). `mcgs` (McgsTable or
+        None) enables graph search: new leaves probe the table and link to
+        an existing transposed node instead of allocating; returns
+        (tree, mcgs)."""
+        L = k_r * group  # lanes per board, candidate-major
+        W = B * L
+        bw = jnp.arange(W) // L  # board index per lane
         states_wide = jax.tree_util.tree_map(
-            lambda x: jnp.repeat(x, k_r, axis=0), states)
+            lambda x: jnp.repeat(x, L, axis=0), states)
         root_color_w = root_color[bw]
         root_score_w = root_score_est[bw]
         # Candidates are rerank-sorted descending, so lanes 0..k_r-1 are
         # the surviving half; constant within a round.
-        action0 = cand_actions[:, :k_r].reshape(-1)  # [W]
-        valid0 = cand_valid[:, :k_r].reshape(-1) & ~board_over[bw]
+        action0 = jnp.repeat(cand_actions[:, :k_r], group,
+                             axis=1).reshape(-1)  # [W]
+        valid0 = jnp.repeat(cand_valid[:, :k_r], group,
+                            axis=1).reshape(-1) & ~board_over[bw]
         if stopped is not None:
             valid0 = valid0 & ~stopped[bw]
+        lane_lt = (jnp.arange(L)[None, :] < jnp.arange(L)[:, None])[None]
 
         # --- descent (Search, gumbel.cc:674-727), k-wide ---
         # The tree is READ-ONLY inside the while loop: within one sweep no
@@ -623,8 +701,20 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             active = ~done
             node = cur  # parent for this edge; at depth 0, node == root(0)
             legal = legal_mask_batch(scratch)
-            a_policy = _nonroot_action(tree, node, legal, params.c_visit,
-                                       params.c_scale, bw)
+            if group == 1:
+                a_policy = _nonroot_action(tree, node, legal, params.c_visit,
+                                           params.c_scale, bw)
+            else:
+                # Arrival rank among this board's ACTIVE lanes at the same
+                # node (below the root, same node implies same candidate —
+                # disjoint subtrees).
+                nodeb = node.reshape(B, L)
+                actb = active.reshape(B, L)
+                eq = (nodeb[:, :, None] == nodeb[:, None, :]) \
+                    & actb[:, :, None] & actb[:, None, :]
+                rank = jnp.sum(eq & lane_lt, axis=2).reshape(-1)
+                a_policy = _grouped_action(tree, node, legal, params.c_visit,
+                                           params.c_scale, rank, group, bw)
             a = jnp.where(depth == 0, action0, a_policy)
 
             new_scratch, _ = jax.vmap(step)(scratch, a)
@@ -674,21 +764,63 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             cond, body, init)
 
         # Assign node slots for this sweep's allocations (<= 1 per lane)
-        # and apply the deferred child-table writes in one scatter.
-        allocated = (cur_final == NEW_MARK) & valid0
-        na = allocated.reshape(B, k_r)
-        rank = jnp.cumsum(na, axis=1) - na
-        new_idx = (tree.next_free[:, None] + rank).reshape(-1).astype(jnp.int32)
-        leaf_node = jnp.where(allocated, new_idx,
+        # and apply the deferred child-table writes in one scatter. Under
+        # MCGS, lanes whose new position already exists in the table link
+        # to the existing node instead (GetOrCreate, node_table.h:88-101).
+        want = (cur_final == NEW_MARK) & valid0
+        if mcgs is not None:
+            meta_q = mcgs_meta(leaf_states.to_move, leaf_terminal)
+            hit, hit_node, ins_slot, has_empty = mcgs_probe(
+                mcgs, L, leaf_states.hash[:, 0], leaf_states.hash[:, 1],
+                meta_q)
+            hit = hit & want
+        else:
+            hit = jnp.zeros_like(want)
+            hit_node = jnp.zeros((W,), jnp.int32)
+        if group > 1:
+            # Grouped replicas stopping at the same unexpanded (parent,
+            # action) must share ONE node: the first such lane (leader)
+            # allocates; the rest adopt its slot (the reference's visit 1
+            # creates the child, visits 2..g land on it as leaf visits).
+            keyv = alloc_parent * NUM_MOVES + alloc_action
+            keyb = keyv.reshape(B, L)
+            wantb = want.reshape(B, L)
+            eqk = (keyb[:, :, None] == keyb[:, None, :]) \
+                & wantb[:, :, None] & wantb[:, None, :]
+            leader_rank = jnp.sum(eqk & lane_lt, axis=2).reshape(-1)
+            is_leader = want & (leader_rank == 0)
+        else:
+            is_leader = want
+        allocated = is_leader & ~hit
+        na = allocated.reshape(B, L)
+        arank = jnp.cumsum(na, axis=1) - na
+        new_idx = (tree.next_free[:, None]
+                   + arank).reshape(-1).astype(jnp.int32)
+        leaf_sub = jnp.where(hit, hit_node, new_idx)
+        if group > 1:
+            # Followers adopt their leader's resolved node (first matching
+            # lane; one-hot gather over the small lane axis).
+            lead_idx = jnp.argmax(eqk, axis=2)  # [B, L] first True
+            oh_lead = jax.nn.one_hot(lead_idx, L, dtype=jnp.float32)
+            gat = lambda v: jnp.einsum(
+                "blj,bj->bl", oh_lead,
+                v.reshape(B, L).astype(jnp.float32)).reshape(-1)
+            leaf_sub = jnp.where(want, gat(leaf_sub).astype(jnp.int32),
+                                 leaf_sub)
+            hit = jnp.where(want, gat(hit) > 0.5, hit)
+        leaf_node = jnp.where(want, leaf_sub,
                               jnp.clip(cur_final, 0, max_nodes - 1))
-        path_nodes = jnp.where(path_nodes == NEW_MARK, new_idx[:, None],
+        path_nodes = jnp.where(path_nodes == NEW_MARK, leaf_sub[:, None],
                                path_nodes)
-        wp = jnp.where(allocated, alloc_parent, spare)
-        wa = jnp.where(allocated, alloc_action, 0)
+        link = want | hit  # every want lane links its (parent, action) edge
+        wp = jnp.where(link, alloc_parent, spare)
+        wa = jnp.where(link, alloc_action, 0)
         ln_routed = jnp.where(allocated, leaf_node, spare)
         tree = tree._replace(
             children=tree.children.at[bw, wp, wa].set(
-                jnp.where(allocated, leaf_node, tree.children[bw, wp, wa])),
+                jnp.where(link, leaf_node, tree.children[bw, wp, wa])),
+            # Shared nodes keep their first allocation parent (compaction
+            # reachability is a tree over first-parents).
             parent=tree.parent.at[bw, ln_routed].set(
                 jnp.where(allocated, alloc_parent, tree.parent[bw, ln_routed])),
             parent_action=tree.parent_action.at[bw, ln_routed].set(
@@ -696,15 +828,21 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                           tree.parent_action[bw, ln_routed])),
             next_free=tree.next_free + jnp.sum(na, axis=1),
         )
+        if mcgs is not None:
+            mcgs = mcgs_insert(mcgs, L, ins_slot,
+                               leaf_states.hash[:, 0],
+                               leaf_states.hash[:, 1], meta_q, new_idx,
+                               allocated & has_empty)
 
         leaf_color = leaf_states.to_move
         root_sign = jnp.where(leaf_color == root_color_w, 1.0, -1.0)
 
         # --- leaf evaluation (one [B*k] NN call) ---
+        # MCGS hits keep the shared node's existing eval (kNew-only init).
         ev = eval_fn(leaf_states)
         util = ev.outcome_value + _score_utility(
             params.score_weight, ev.score_est, root_sign * root_score_w)
-        eval_active = leaf_new & valid0
+        eval_active = leaf_new & valid0 & ~hit
         tree = _init_nodes(tree, leaf_node, ev, leaf_color, util, eval_active,
                            bw)
 
@@ -793,7 +931,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         # One-hot contraction instead of scatter-add: batched multi-index
         # scatters serialize on TPU; this is a small MXU matmul. All k_r*D
         # path entries of a board fold into one [I, max_nodes] one-hot.
-        I = k_r * D
+        I = L * D
         oh = jax.nn.one_hot(node_s.reshape(B, I), max_nodes,
                             dtype=jnp.float32)  # [B, I, N]
         onp = on_path.reshape(B, I).astype(jnp.float32)
@@ -831,7 +969,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             edge_w=tree.edge_w + edge(add_w, onp),
         )
 
-        return tree
+        return tree, mcgs
 
     def rerank(tree, cand_actions, cand_valid, k_r):
         """Candidate re-ranking at a round boundary (update_qtransform +
@@ -860,22 +998,48 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
     es_enabled = params.early_stopping or params.over_search
     if es_enabled:
         lam = params.search_confidence ** (1.0 / num_rounds)
+    if params.use_mcgs:
+        # Table sized ~2x the node budget (power of two) and seeded with
+        # the root (GetOrCreate at search entry, gumbel.cc:426).
+        s_tab = 64
+        while s_tab < 2 * max_nodes:
+            s_tab *= 2
+        mcgs = make_mcgs_table(B, s_tab)
+        meta_r = mcgs_meta(states.to_move, board_over)
+        _, _, slot_r, has_r = mcgs_probe(mcgs, 1, states.hash[:, 0],
+                                         states.hash[:, 1], meta_r)
+        mcgs = mcgs_insert(mcgs, 1, slot_r, states.hash[:, 0],
+                           states.hash[:, 1], meta_r,
+                           jnp.zeros((B,), jnp.int32), has_r)
+    else:
+        mcgs = None
     visits_spent = jnp.zeros((B,), jnp.int32)
     for k_r, v_r in round_specs:
         live_k = cand_valid[:, :k_r] & ~board_over[:, None]  # [B, k_r]
+        # Grouped visits: ceil(v_r / g) sweeps, each running g (or the
+        # remainder) visits per candidate at once; total per-candidate
+        # visits stay exactly v_r (SearchParams.visit_group).
+        g = max(1, min(params.visit_group, v_r))
+        full, rem = divmod(v_r, g)
+        sweep_plan = [(g, full)] + ([(rem, 1)] if rem else [])
         if not es_enabled:
-            body = (lambda k_r, ca, cv:
-                    lambda t, _: (one_sweep(t, k_r, ca, cv), None))(
-                        k_r, cand_actions, cand_valid)
-            tree, _ = jax.lax.scan(body, tree, None, length=v_r)
+            for g_i, reps in sweep_plan:
+                body = (lambda k_r, ca, cv, g_i:
+                        lambda c, _: (one_sweep(c[0], k_r, ca, cv,
+                                                mcgs=c[1], group=g_i),
+                                      None))(k_r, cand_actions, cand_valid,
+                                             g_i)
+                (tree, mcgs), _ = jax.lax.scan(body, (tree, mcgs), None,
+                                               length=reps)
             visits_spent = visits_spent + v_r * jnp.sum(
                 live_k.astype(jnp.int32), axis=1)
         else:
             # (visits_per_action, check_interval, min_check),
-            # gumbel.cc:397-409. i counts completed visit sweeps; the
-            # reference checks at 0-indexed visit_num with
-            # visit_num % c == c-1 and visit_num >= min_check, i.e. at
-            # i % c == 0 and i >= min_check + 1.
+            # gumbel.cc:397-409. The reference checks at 0-indexed
+            # visit_num with visit_num % c == c-1 and
+            # visit_num >= min_check; here i counts VISITS (grouped sweeps
+            # advance it by their group size g) and checks run at the
+            # first sweep boundary past each reference check point.
             if params.over_search:
                 budget = v_r * 5 // 2
                 c = -(-v_r // 4)
@@ -889,27 +1053,28 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             dead = ~jnp.any(live_k, axis=1)  # [B] no live lane this round
 
             def es_cond(carry, budget=budget):
-                _, stopped, i, _ = carry
+                _, _, stopped, i, _, _ = carry
                 return (i < budget) & ~jnp.all(stopped | dead)
 
             def es_body(carry, k_r=k_r, c=c, first_check=first_check,
                         ca=cand_actions, cv=cand_valid, ztab=ztab,
-                        live_k=live_k):
-                tree, stopped, i, vs = carry
-                tree = one_sweep(tree, k_r, ca, cv, stopped)
-                vs = vs + jnp.sum(
+                        live_k=live_k, g=g):
+                tree, mcgs, stopped, i, prev, vs = carry
+                tree, mcgs = one_sweep(tree, k_r, ca, cv, stopped,
+                                       mcgs=mcgs, group=g)
+                vs = vs + g * jnp.sum(
                     (live_k & ~stopped[:, None]).astype(jnp.int32), axis=1)
-                i = i + 1
-                is_check = ((i % c) == 0) & (i >= first_check)
+                i = i + g
+                is_check = (i >= first_check) & ((i // c) > (prev // c))
                 stop_now = _can_stop_early(tree, ca, cv, k_r, base_score,
                                            ztab, params)
                 stopped = stopped | (is_check & stop_now)
-                return tree, stopped, i, vs
+                return tree, mcgs, stopped, i, i, vs
 
-            tree, _, _, visits_spent = jax.lax.while_loop(
+            tree, mcgs, _, _, _, visits_spent = jax.lax.while_loop(
                 es_cond, es_body,
-                (tree, jnp.zeros((B,), jnp.bool_), jnp.int32(0),
-                 visits_spent))
+                (tree, mcgs, jnp.zeros((B,), jnp.bool_), jnp.int32(0),
+                 jnp.int32(0), visits_spent))
         cand_actions, cand_valid = rerank(tree, cand_actions, cand_valid, k_r)
 
     # --- final improved policy (ComputeRootImprovedPolicy, gumbel.cc:154-175)

@@ -6,6 +6,7 @@ values are known and assert the search overrides a misleading prior.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from p3achygo_tpu.constants import BLACK, NUM_MOVES, PASS_MOVE, WHITE
 from p3achygo_tpu.game import is_game_over, legal_mask, new_state, step
@@ -218,3 +219,63 @@ class TestEarlyStopping:
         f = jax.jit(lambda key, s: search_root(key, s, uniform_eval_fn, es))
         r = f(jax.random.PRNGKey(0), states)
         assert np.asarray(r.mcts_move).shape == (2,)
+
+
+class TestGroupedVisits:
+    """SearchParams.visit_group: grouped sweeps preserve the halving
+    schedule and tree invariants (see gumbel.py _grouped_action)."""
+
+    def _biased_eval(self):
+        from p3achygo_tpu.mcts.gumbel import uniform_eval_fn
+
+        def fn(states):
+            out = uniform_eval_fn(states)
+            B = states.stones.shape[0]
+            lg = jnp.zeros((B, NUM_MOVES)).at[:, 60].set(2.0) \
+                .at[:, 61].set(1.8).at[:, 100].set(1.5)
+            return out._replace(log_priors=jax.nn.log_softmax(lg, -1))
+
+        return fn
+
+    @pytest.mark.parametrize("g", [2, 4, 8])
+    def test_budget_and_tree_invariants(self, g):
+        from p3achygo_tpu.game.board import new_state
+        from p3achygo_tpu.mcts.gumbel import SearchParams, search_root
+        from p3achygo_tpu.mcts.tree import make_tree
+
+        states = jax.vmap(new_state)(jnp.asarray([7.5, 7.5]))
+        init = make_tree(2, 8)
+        p = SearchParams(n=16, k=4, noise_scale=0.0, max_depth=8,
+                         visit_group=g)
+        res, work = search_root(jax.random.PRNGKey(0), states,
+                                self._biased_eval(), p, init_tree=init,
+                                reuse_capacity=8)
+        # Exact halving budget: 16 visits spent, schedule [2,6,6,2] over
+        # the 4 candidates.
+        assert int(res.visits[0]) == 16
+        nv = np.asarray(res.root_child_visits[0])
+        assert sorted(nv[nv > 0].tolist()) == [2, 2, 6, 6]
+        # Node visit count == sum of incoming edge visits, for every node.
+        n = np.asarray(work.n[0])
+        ch = np.asarray(work.children[0])
+        en = np.asarray(work.edge_n[0])
+        for m in range(1, int(work.next_free[0])):
+            assert n[m] == en[ch == m].sum()
+        assert int(work.next_free[0]) <= work.n.shape[1]
+
+    def test_group_one_matches_sequential_path(self):
+        from p3achygo_tpu.game.board import new_state
+        from p3achygo_tpu.mcts.gumbel import SearchParams, search_root
+
+        states = jax.vmap(new_state)(jnp.asarray([7.5]))
+        key = jax.random.PRNGKey(3)
+        p1 = SearchParams(n=8, k=4, noise_scale=1.0, max_depth=6,
+                          visit_group=1)
+        r1 = search_root(key, states, self._biased_eval(), p1)
+        r1b = search_root(key, states, self._biased_eval(),
+                          SearchParams(n=8, k=4, noise_scale=1.0,
+                                       max_depth=6))
+        np.testing.assert_array_equal(np.asarray(r1.mcts_move),
+                                      np.asarray(r1b.mcts_move))
+        np.testing.assert_allclose(np.asarray(r1.root_value),
+                                   np.asarray(r1b.root_value), rtol=1e-6)
