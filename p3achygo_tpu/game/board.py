@@ -109,6 +109,14 @@ class GoState(NamedTuple):
     komi: jnp.ndarray  # float32
     num_b_prisoners: jnp.ndarray  # int32 black stones captured by white
     num_w_prisoners: jnp.ndarray  # int32 white stones captured by black
+    # Benson pass-alive region map {0, BLACK, WHITE} (GroupTracker
+    # pass_alive_, board.h:246-248): moves at non-empty entries are illegal
+    # for BOTH colors (board.cc:607-608 kPassAliveRegion). Refreshed
+    # OUTSIDE step() at the reference's checkpoints (scoring.py
+    # refresh_pass_alive); carried unchanged through moves, exactly like
+    # the reference's lazily-recomputed map.
+    pass_alive: jnp.ndarray  # int8[361]
+    pa_move: jnp.ndarray  # int32 move_count at last pass-alive refresh
 
 
 def _pad(x: jnp.ndarray, fill) -> jnp.ndarray:
@@ -212,6 +220,8 @@ def new_state(komi: float = DEFAULT_KOMI) -> GoState:
         komi=jnp.asarray(komi, jnp.float32),
         num_b_prisoners=jnp.int32(0),
         num_w_prisoners=jnp.int32(0),
+        pass_alive=jnp.zeros((NUM_LOCS,), jnp.int8),
+        pa_move=jnp.int32(0),
     )
 
 
@@ -361,7 +371,8 @@ def step(state: GoState, action: jnp.ndarray) -> Tuple[GoState, jnp.ndarray]:
 
     sim = _simulate_play(state.stones, state.chain_id, state.hash, p, c)
     superko = _in_history(state, sim.new_hash)
-    illegal = (sim.occupied | sim.suicide | superko) & ~is_pass
+    pa_banned = state.pass_alive[p] != EMPTY  # board.cc:607-608
+    illegal = (sim.occupied | sim.suicide | superko | pa_banned) & ~is_pass
     do_play = ~is_pass & ~illegal
 
     status = jnp.where(
@@ -370,9 +381,12 @@ def step(state: GoState, action: jnp.ndarray) -> Tuple[GoState, jnp.ndarray]:
         jnp.where(
             sim.occupied,
             MOVE_LOC_NOT_EMPTY,
-            jnp.where(sim.suicide, MOVE_SELF_CAPTURE,
-                      jnp.where(superko, MOVE_REPEATED_POSITION, MOVE_VALID)),
-        ),
+            jnp.where(
+                pa_banned,
+                MOVE_PASS_ALIVE_REGION,
+                jnp.where(sim.suicide, MOVE_SELF_CAPTURE,
+                          jnp.where(superko, MOVE_REPEATED_POSITION,
+                                    MOVE_VALID)))),
     ).astype(jnp.int32)
 
     stones_f = jnp.where(do_play, sim.stones, state.stones)
@@ -424,6 +438,8 @@ def step(state: GoState, action: jnp.ndarray) -> Tuple[GoState, jnp.ndarray]:
         komi=state.komi,
         num_b_prisoners=state.num_b_prisoners + do_play * cap_b,
         num_w_prisoners=state.num_w_prisoners + do_play * cap_w,
+        pass_alive=state.pass_alive,
+        pa_move=state.pa_move,
     )
     return new_st, status
 
@@ -444,6 +460,9 @@ def legal_mask_from_libs(state: GoState, libs_pt: jnp.ndarray) -> jnp.ndarray:
     captures = jnp.any((nbr_color == (-c)) & (nbr_libs == 1), axis=1)
     legal = empty & (any_empty_nbr | safe_friend | captures)
     legal = legal & (_IOTA != state.ko_point)
+    # Moves inside Benson pass-alive regions are banned for both colors
+    # (board.cc:607-608 kPassAliveRegion); pass stays legal.
+    legal = legal & (state.pass_alive == EMPTY)
     return jnp.concatenate([legal, jnp.ones((1,), jnp.bool_)])
 
 
@@ -477,15 +496,19 @@ def dry_run_status(state: GoState, action: jnp.ndarray) -> jnp.ndarray:
     sim = _simulate_play(state.stones, state.chain_id, state.hash, p,
                          state.to_move)
     superko = _in_history(state, sim.new_hash)
+    pa_banned = state.pass_alive[p] != EMPTY
     return jnp.where(
         ~in_bounds,
         MOVE_VALID,  # pass
         jnp.where(
             sim.occupied,
             MOVE_LOC_NOT_EMPTY,
-            jnp.where(sim.suicide, MOVE_SELF_CAPTURE,
-                      jnp.where(superko, MOVE_REPEATED_POSITION, MOVE_VALID)),
-        ),
+            jnp.where(
+                pa_banned,
+                MOVE_PASS_ALIVE_REGION,
+                jnp.where(sim.suicide, MOVE_SELF_CAPTURE,
+                          jnp.where(superko, MOVE_REPEATED_POSITION,
+                                    MOVE_VALID)))),
     ).astype(jnp.int32)
 
 

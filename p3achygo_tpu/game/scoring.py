@@ -16,6 +16,8 @@ All functions are single-board; vmap for batches.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -140,6 +142,54 @@ def compute_pass_alive(state: GoState) -> jnp.ndarray:
     pa_b = pass_alive_for_color(state.stones, state.chain_id, jnp.int8(BLACK))
     pa_w = pass_alive_for_color(state.stones, state.chain_id, jnp.int8(WHITE))
     return (pa_b.astype(jnp.int8) * BLACK + pa_w.astype(jnp.int8) * WHITE)
+
+
+# Move counts at which self-play recomputes pass-alive regions
+# (kComputePAMoveNums, self_play_thread.cc:56).
+PA_CHECKPOINT_FIRST = 200
+PA_CHECKPOINT_LAST = 400
+PA_CHECKPOINT_STRIDE = 50
+# Total passes after which the reference recomputes on every pass
+# (kNumPassesBeforeBensons, constants.h:75).
+PA_PASSES_THRESHOLD = 3
+
+
+def pass_alive_refresh_needed(states: GoState) -> jnp.ndarray:
+    """bool[B]: board crossed a PA checkpoint (or is in the >= 3-passes
+    endgame regime) since its last refresh.
+
+    The reference recomputes exactly at moves {200,250,...,400}
+    (self_play_thread.cc:701-705) and after every pass once passes >= 3
+    (board.cc:587-590). Here the caller polls on a host cadence, so a
+    board refreshes at the first poll after crossing a boundary
+    (documented deviation: bounded lag instead of exact move numbers).
+    """
+    mc = states.move_count
+    ck = jnp.clip(mc, 0, PA_CHECKPOINT_LAST) // PA_CHECKPOINT_STRIDE
+    ck_prev = jnp.clip(states.pa_move, 0,
+                       PA_CHECKPOINT_LAST) // PA_CHECKPOINT_STRIDE
+    crossed = (mc >= PA_CHECKPOINT_FIRST) & (ck > ck_prev)
+    endgame = (states.passes >= PA_PASSES_THRESHOLD) \
+        & (mc > states.pa_move)
+    return crossed | endgame
+
+
+def refresh_pass_alive(states: GoState,
+                       need: Optional[jnp.ndarray] = None) -> GoState:
+    """Recompute the batched pass-alive maps for boards in `need`
+    (default: pass_alive_refresh_needed). Cheap no-op graph branch when no
+    board needs it (lax.cond on the batch-level predicate)."""
+    if need is None:
+        need = pass_alive_refresh_needed(states)
+
+    def do(operand):
+        states, need = operand
+        pa = jax.vmap(compute_pass_alive)(states)
+        return states._replace(
+            pass_alive=jnp.where(need[:, None], pa, states.pass_alive),
+            pa_move=jnp.where(need, states.move_count, states.pa_move))
+
+    return jax.lax.cond(jnp.any(need), do, lambda op: op[0], (states, need))
 
 
 def _score_one_color(stones, pass_alive, color, komi):

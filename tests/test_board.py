@@ -329,3 +329,65 @@ class TestRandomGamesInvariants:
             # liberties nonzero for all chains on board
             libs = np.asarray(point_liberties(st.stones, st.chain_id))
             assert (libs[s != EMPTY] > 0).all()
+
+
+class TestPassAliveEnforcement:
+    """In-game pass-alive move bans (board.cc:607-608 kPassAliveRegion +
+    self_play_thread.cc:701-705 checkpointed recompute)."""
+
+    def _pa_state(self):
+        from p3achygo_tpu.game.scoring import refresh_pass_alive
+
+        st = board_from_dsl(
+            """
+            . x . x .
+            x x x x x
+            """, to_move=WHITE)
+        states = jax.tree_util.tree_map(lambda x: x[None], st)
+        need = jnp.ones((1,), jnp.bool_)
+        return refresh_pass_alive(states, need)
+
+    def test_refresh_sets_map_and_bans_moves(self):
+        from p3achygo_tpu.game.board import (
+            MOVE_PASS_ALIVE_REGION,
+            legal_mask,
+            step,
+        )
+
+        states = self._pa_state()
+        pa = np.asarray(states.pass_alive[0]).reshape(19, 19)
+        assert pa[0, 0] == BLACK and pa[0, 2] == BLACK  # eyes banned
+        st = jax.tree_util.tree_map(lambda x: x[0], states)
+        legal = np.asarray(legal_mask(st))
+        assert not legal[0 * 19 + 0] and not legal[0 * 19 + 2]
+        assert legal[PASS_MOVE]
+        # step() refuses the banned point and records a pass
+        new_st, status = step(st, jnp.int32(0 * 19 + 2))
+        assert int(status) == MOVE_PASS_ALIVE_REGION
+        assert int(new_st.consecutive_passes) == 1
+        assert np.asarray(new_st.stones).sum() == np.asarray(st.stones).sum()
+
+    def test_refresh_trigger_schedule(self):
+        from p3achygo_tpu.game.scoring import pass_alive_refresh_needed
+        from p3achygo_tpu.game.board import new_state
+
+        states = jax.vmap(new_state)(jnp.asarray([7.5] * 4))
+        states = states._replace(
+            move_count=jnp.asarray([150, 201, 260, 100], jnp.int32),
+            pa_move=jnp.asarray([0, 0, 250, 0], jnp.int32),
+            passes=jnp.asarray([0, 0, 0, 3], jnp.int32),
+        )
+        need = np.asarray(pass_alive_refresh_needed(states))
+        assert not need[0]  # below first checkpoint
+        assert need[1]      # crossed 200
+        assert not need[2]  # refreshed at 250 already, next is 300
+        assert need[3]      # >= 3 passes endgame regime
+
+    def test_noop_when_no_board_needs_it(self):
+        from p3achygo_tpu.game.scoring import refresh_pass_alive
+        from p3achygo_tpu.game.board import new_state
+
+        states = jax.vmap(new_state)(jnp.asarray([7.5, 7.5]))
+        out = refresh_pass_alive(states)
+        assert (np.asarray(out.pass_alive) == 0).all()
+        assert (np.asarray(out.pa_move) == 0).all()
