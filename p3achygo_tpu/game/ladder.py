@@ -32,7 +32,11 @@ from p3achygo_tpu.game.board import (
 )
 
 MAX_CANDIDATES = 8
-MAX_DEPTH = 44
+# A full-board zigzag ladder costs ~2 plies per diagonal step (~37 steps
+# corner to corner) plus the capture tail; the loop exits early once
+# resolved, so the cap only binds on pathological boards (reference solver
+# depth: 300, board.cc:696).
+MAX_DEPTH = 96
 
 _IOTA = jnp.arange(NUM_LOCS, dtype=jnp.int32)
 _DUMMY_HASH = jnp.zeros((2,), jnp.uint32)
@@ -68,6 +72,22 @@ def _chase_one(stones, chain_id, rep, color):
         st, cid, r, to_move_is_defender, done, laddered, depth = carry
         libs = defender_libs(st, cid, r)
 
+        # Counter-atari (the reference's recursive solver reads this
+        # line): if an ATTACKER chain adjacent to the laddered chain is in
+        # atari, the defender captures it instead of extending and the
+        # chase continues on the new board. Snapback refutations are not
+        # re-read (documented approximation).
+        chain_mask = (cid == r) & (r >= 0)
+        nbr_in_chain = jnp.any(
+            _pad(chain_mask, jnp.bool_(False))[NEIGHBORS], axis=1)
+        counts_all = chain_lib_counts(st, cid)
+        opp_atari_adj = ((st == (-color).astype(st.dtype)) & nbr_in_chain
+                         & (counts_all[jnp.clip(cid, 0, NUM_LOCS)] == 1))
+        counter_atari = jnp.any(opp_atari_adj)
+        cap_cell = jnp.argmax(opp_atari_adj).astype(jnp.int32)
+        cap_rep = cid[jnp.clip(cap_cell, 0, NUM_LOCS - 1)]
+        cap_pt, _ = _first_two(_chain_liberty_points(st, cid, cap_rep))
+
         # Resolution checks.
         captured = libs == 0
         escaped = libs >= 3
@@ -78,13 +98,22 @@ def _chase_one(stones, chain_id, rep, color):
         lib1, lib2 = _first_two(_chain_liberty_points(st, cid, r))
 
         def defender_move(st, cid, r):
-            # Extend at the single liberty.
-            sim = _simulate_play(st, cid, _DUMMY_HASH, jnp.clip(lib1, 0, NUM_LOCS - 1),
-                                 color)
-            # Chain rep may change after merge.
-            new_r = sim.chain_id[jnp.clip(lib1, 0, NUM_LOCS - 1)]
-            ok = (lib1 >= 0) & ~sim.suicide
-            return sim.stones, sim.chain_id, new_r, ok
+            # Capture an adjacent attacker chain in atari if possible,
+            # else extend at the single liberty.
+            sim_cap = _simulate_play(st, cid, _DUMMY_HASH,
+                                     jnp.clip(cap_pt, 0, NUM_LOCS - 1), color)
+            cap_ok = counter_atari & (cap_pt >= 0) & ~sim_cap.suicide \
+                & ~sim_cap.occupied
+            sim_ext = _simulate_play(st, cid, _DUMMY_HASH,
+                                     jnp.clip(lib1, 0, NUM_LOCS - 1), color)
+            ext_ok = (lib1 >= 0) & ~sim_ext.suicide
+            pick = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(cap_ok, x, y), a, b)
+            sim = pick(sim_cap, sim_ext)
+            # The rep CELL stays inside the (possibly merged) chain, so the
+            # new rep is its chain id on the new board.
+            new_r = sim.chain_id[jnp.clip(r, 0, NUM_LOCS - 1)]
+            return sim.stones, sim.chain_id, new_r, cap_ok | ext_ok
 
         def attacker_move(st, cid, r):
             att = (-color).astype(jnp.int8)
