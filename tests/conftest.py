@@ -16,3 +16,7 @@ os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")
