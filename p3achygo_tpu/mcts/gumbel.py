@@ -105,6 +105,9 @@ class SearchParams:
     c_visit: float = 50.0
     c_scale: float = 1.0
     score_weight: float = 0.5
+    # "direct" (ScoreTransform) or "integral" (Gaussian-integral table
+    # mode, leaf_evaluator.h:12-16 ScoreUtilityMode).
+    score_utility_mode: str = "direct"
     disable_pass: bool = False
     # In-tree terminal evaluation: "exact" runs full Benson scoring on any
     # sim that reaches a finished game (reference semantics,
@@ -312,6 +315,35 @@ def _score_utility(score_weight, score_est, root_score_signed):
     """Direct-mode score utility (leaf_evaluator.cc:79-82 ScoreTransform)."""
     return score_weight * (2.0 / math.pi) * jnp.arctan(
         (score_est - root_score_signed) / BOARD_LEN)
+
+
+def _score_utility_integral(score_weight, score_est, score_stddev,
+                            root_score_signed):
+    """Gaussian-integral score utility (kIntegral mode,
+    leaf_evaluator.cc:12-77): E_z[(2/pi) atan((mean + z*sigma)/19)] under a
+    truncated standard normal (z in [-5, 5], step 0.1), with the mean
+    interpolated between absolute score and advantage
+    (mean = score_est - 0.75 * root_score, ScoreTransformIntegral:49-54).
+    Computed directly per lane on the VPU instead of bilinearly
+    interpolating the reference's precomputed [800, 400] grid (deviation:
+    no interpolation error; a per-lane table gather would serialize)."""
+    z = jnp.arange(-50, 51, dtype=jnp.float32) * 0.1
+    pdf = jnp.exp(-0.5 * z * z)
+    mean = score_est - 0.75 * root_score_signed
+    vals = jnp.arctan(
+        (mean[..., None] + z * score_stddev[..., None]) / BOARD_LEN)
+    integral = (2.0 / math.pi) * jnp.sum(vals * pdf, axis=-1) / jnp.sum(pdf)
+    return score_weight * integral
+
+
+def _leaf_score_utility(params, score_est, score_var, root_score_signed):
+    """Dispatch on SearchParams.score_utility_mode (ScoreUtility,
+    leaf_evaluator.cc:124-131)."""
+    if params.score_utility_mode == "integral":
+        return _score_utility_integral(
+            params.score_weight, score_est,
+            jnp.sqrt(jnp.maximum(score_var, 0.0)), root_score_signed)
+    return _score_utility(params.score_weight, score_est, root_score_signed)
 
 
 def _cheap_scores(states: GoState):
@@ -595,11 +627,27 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                                root_ev.score_est)
 
     # --- root candidates: logits + gumbel noise (gumbel.cc:287-306) ---
-    legal0 = jax.vmap(legal_mask)(states)  # [B, 362]
+    legal_plain = jax.vmap(legal_mask)(states)  # [B, 362] (in-tree mask)
+    legal0 = legal_plain
     if params.disable_pass:
         has_board_move = jnp.any(legal0[:, :PASS_MOVE], axis=-1)
         legal0 = legal0.at[:, PASS_MOVE].set(
             legal0[:, PASS_MOVE] & ~has_board_move)
+
+    # Store the root board into node 0's state slots (see Tree s_* fields:
+    # descents read stored node states instead of replaying moves). Safe
+    # to overwrite for reused roots — the compacted subtree's root is by
+    # construction the current position.
+    tree = tree._replace(
+        s_stones=tree.s_stones.at[:, 0].set(states.stones),
+        s_chain=tree.s_chain.at[:, 0].set(states.chain_id.astype(jnp.int16)),
+        s_last5=tree.s_last5.at[:, 0].set(states.last_moves.astype(jnp.int16)),
+        s_ko=tree.s_ko.at[:, 0].set(states.ko_point.astype(jnp.int16)),
+        s_cpass=tree.s_cpass.at[:, 0].set(
+            states.consecutive_passes.astype(jnp.int8)),
+        s_hash=tree.s_hash.at[:, 0].set(states.hash),
+        s_legal=tree.s_legal.at[:, 0].set(legal_plain),
+    )
     root_log_priors = tree.log_priors[:, 0, :]
     masked_logp = jnp.where(legal0, root_log_priors, _BIG_NEG)
     key, knoise = jax.random.split(key)
@@ -670,8 +718,6 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         L = k_r * group  # lanes per board, candidate-major
         W = B * L
         bw = jnp.arange(W) // L  # board index per lane
-        states_wide = jax.tree_util.tree_map(
-            lambda x: jnp.repeat(x, L, axis=0), states)
         root_color_w = root_color[bw]
         root_score_w = root_score_est[bw]
         # Candidates are rerank-sorted descending, so lanes 0..k_r-1 are
@@ -684,23 +730,25 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             valid0 = valid0 & ~stopped[bw]
         lane_lt = (jnp.arange(L)[None, :] < jnp.arange(L)[:, None])[None]
 
-        # --- descent (Search, gumbel.cc:674-727), k-wide ---
-        # The tree is READ-ONLY inside the while loop: within one sweep no
-        # lane can reach another lane's freshly-allocated node (disjoint
-        # subtrees), so child-table writes and node-slot assignment happen
-        # once after the loop. Keeping the ~100MB tree out of the loop
-        # carry avoids a full copy per level (the dominant cost before).
+        # --- descent (Search, gumbel.cc:674-727), k-wide, stateless ---
+        # NO board stepping inside the loop: every node stores its
+        # position + legality at creation (Tree s_* fields), so a level is
+        # pure tree reads (the reference carries an incremental Game copy
+        # per path; replaying moves per level was the dominant search cost
+        # here). The single board step per sweep happens after the loop at
+        # the leaf.
         D = params.max_depth
         path_nodes0 = jnp.full((W, D), -1, jnp.int32)
         lane = jnp.arange(W)
         NEW_MARK = jnp.int32(-2)  # placeholder for this sweep's new node
 
         def body(carry):
-            (scratch, cur, depth, done, path_nodes, path_actions, leaf_new,
-             leaf_terminal, alloc_parent, alloc_action) = carry
+            (cur, depth, done, path_nodes, path_actions,
+             alloc_parent, alloc_action) = carry
             active = ~done
             node = cur  # parent for this edge; at depth 0, node == root(0)
-            legal = legal_mask_batch(scratch)
+            legal = rows_by_node(
+                tree.s_legal, node.reshape(B, -1)).reshape(W, -1) > 0.5
             if group == 1:
                 a_policy = _nonroot_action(tree, node, legal, params.c_visit,
                                            params.c_scale, bw)
@@ -717,57 +765,82 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                                            params.c_scale, rank, group, bw)
             a = jnp.where(depth == 0, action0, a_policy)
 
-            new_scratch, _ = jax.vmap(step)(scratch, a)
-            scratch = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(active, (W,) + (1,) * (new.ndim - 1)), new, old),
-                new_scratch, scratch)
-
             child = tree.children[bw, node, a]
             need_alloc = (child < 0) & active
             child_idx = jnp.where(need_alloc, NEW_MARK, child).astype(jnp.int32)
             alloc_parent = jnp.where(need_alloc, node, alloc_parent)
             alloc_action = jnp.where(need_alloc, a, alloc_action)
 
-            terminal_board = jax.vmap(is_game_over)(scratch) & active
             known_terminal = (child >= 0) & tree.is_terminal[
                 bw, jnp.clip(child_idx, 0, max_nodes - 1)]
-            stop = (need_alloc | terminal_board | known_terminal) & active
+            stop = (need_alloc | known_terminal) & active
 
             path_nodes = path_nodes.at[lane, depth].set(
                 jnp.where(active, child_idx, path_nodes[lane, depth]))
             path_actions = path_actions.at[lane, depth].set(
                 jnp.where(active, a, path_actions[lane, depth]))
-            leaf_new = jnp.where(stop & need_alloc & ~terminal_board, True,
-                                 leaf_new)
-            leaf_terminal = jnp.where(stop & terminal_board, True, leaf_terminal)
             cur = jnp.where(active, child_idx, cur)
             depth = depth + active.astype(jnp.int32)
             done = done | stop | (depth >= D)
-            return (scratch, cur, depth, done, path_nodes, path_actions,
-                    leaf_new, leaf_terminal, alloc_parent, alloc_action)
+            return (cur, depth, done, path_nodes, path_actions,
+                    alloc_parent, alloc_action)
 
         def cond(carry):
-            done = carry[3]
+            done = carry[2]
             return ~jnp.all(done)
 
-        from p3achygo_tpu.game.board import strip_history
-
-        scratch0 = jax.vmap(strip_history)(states_wide)
-        init = (scratch0, jnp.zeros((W,), jnp.int32),
-                jnp.zeros((W,), jnp.int32), ~valid0, path_nodes0,
-                jnp.zeros((W, D), jnp.int32),
-                jnp.zeros((W,), jnp.bool_), jnp.zeros((W,), jnp.bool_),
+        init = (jnp.zeros((W,), jnp.int32), jnp.zeros((W,), jnp.int32),
+                ~valid0, path_nodes0, jnp.zeros((W, D), jnp.int32),
                 jnp.full((W,), spare, jnp.int32), jnp.zeros((W,), jnp.int32))
-        (leaf_states, cur_final, depth, _, path_nodes, path_actions, leaf_new,
-         leaf_terminal, alloc_parent, alloc_action) = jax.lax.while_loop(
-            cond, body, init)
+        (cur_final, depth, _, path_nodes, path_actions, alloc_parent,
+         alloc_action) = jax.lax.while_loop(cond, body, init)
+
+        # --- leaf board: gather the alloc parent's stored position
+        # (one-hot row reads; uint32 hashes via exact 16-bit halves) and
+        # play the chosen action — ONE board step per sweep ---
+        want = (cur_final == NEW_MARK) & valid0
+        par_sel = jnp.where(want, alloc_parent, 0).reshape(B, L)
+        oh_par = jax.nn.one_hot(par_sel, max_nodes, dtype=jnp.float32)
+        g_f = lambda arr: jnp.einsum(
+            "bln,bn->bl", oh_par, arr.astype(jnp.float32),
+            preferred_element_type=jnp.float32).reshape(-1)
+        g_fx = lambda arr: jnp.einsum(
+            "bln,bnx->blx", oh_par, arr.astype(jnp.float32),
+            preferred_element_type=jnp.float32).reshape(W, arr.shape[-1])
+        gu32 = lambda arr: (
+            (g_fx((arr >> jnp.uint32(16)).astype(jnp.int32))
+             .astype(jnp.uint32) << jnp.uint32(16))
+            | g_fx((arr & jnp.uint32(0xFFFF)).astype(jnp.int32))
+            .astype(jnp.uint32))
+        zi32 = jnp.zeros((W,), jnp.int32)
+        par_state = GoState(
+            stones=g_fx(tree.s_stones).astype(jnp.int8),
+            chain_id=g_fx(tree.s_chain).astype(jnp.int32),
+            hash=gu32(tree.s_hash),
+            history=jnp.zeros((W, 0, 2), jnp.uint32),
+            history_len=zi32,
+            last_moves=g_fx(tree.s_last5).astype(jnp.int32),
+            to_move=g_f(tree.color).astype(jnp.int8),
+            ko_point=g_f(tree.s_ko).astype(jnp.int32),
+            consecutive_passes=g_f(tree.s_cpass).astype(jnp.int32),
+            passes=zi32,
+            move_count=zi32,
+            komi=jnp.repeat(states.komi, L, axis=0),
+            num_b_prisoners=zi32,
+            num_w_prisoners=zi32,
+            pass_alive=jnp.repeat(states.pass_alive, L, axis=0),
+            pa_move=zi32,
+        )
+        leaf_action = jnp.where(want, alloc_action, jnp.int32(PASS_MOVE))
+        leaf_states, _ = jax.vmap(step)(par_state, leaf_action)
+        leaf_terminal = jax.vmap(is_game_over)(leaf_states) & want
+        leaf_new = want & ~leaf_terminal
+        leaf_legal = legal_mask_batch(leaf_states)
 
         # Assign node slots for this sweep's allocations (<= 1 per lane)
         # and apply the deferred child-table writes in one scatter. Under
         # MCGS, lanes whose new position already exists in the table link
         # to the existing node instead (GetOrCreate, node_table.h:88-101).
-        want = (cur_final == NEW_MARK) & valid0
         if mcgs is not None:
             meta_q = mcgs_meta(leaf_states.to_move, leaf_terminal)
             hit, hit_node, ins_slot, has_empty = mcgs_probe(
@@ -827,6 +900,31 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                 jnp.where(allocated, alloc_action,
                           tree.parent_action[bw, ln_routed])),
             next_free=tree.next_free + jnp.sum(na, axis=1),
+            # Store the new node's board state (read by future descents).
+            s_stones=tree.s_stones.at[bw, ln_routed].set(
+                jnp.where(allocated[:, None], leaf_states.stones,
+                          tree.s_stones[bw, ln_routed])),
+            s_chain=tree.s_chain.at[bw, ln_routed].set(
+                jnp.where(allocated[:, None],
+                          leaf_states.chain_id.astype(jnp.int16),
+                          tree.s_chain[bw, ln_routed])),
+            s_last5=tree.s_last5.at[bw, ln_routed].set(
+                jnp.where(allocated[:, None],
+                          leaf_states.last_moves.astype(jnp.int16),
+                          tree.s_last5[bw, ln_routed])),
+            s_ko=tree.s_ko.at[bw, ln_routed].set(
+                jnp.where(allocated, leaf_states.ko_point.astype(jnp.int16),
+                          tree.s_ko[bw, ln_routed])),
+            s_cpass=tree.s_cpass.at[bw, ln_routed].set(
+                jnp.where(allocated,
+                          leaf_states.consecutive_passes.astype(jnp.int8),
+                          tree.s_cpass[bw, ln_routed])),
+            s_hash=tree.s_hash.at[bw, ln_routed].set(
+                jnp.where(allocated[:, None], leaf_states.hash,
+                          tree.s_hash[bw, ln_routed])),
+            s_legal=tree.s_legal.at[bw, ln_routed].set(
+                jnp.where(allocated[:, None], leaf_legal,
+                          tree.s_legal[bw, ln_routed])),
         )
         if mcgs is not None:
             mcgs = mcgs_insert(mcgs, L, ins_slot,
@@ -840,8 +938,8 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         # --- leaf evaluation (one [B*k] NN call) ---
         # MCGS hits keep the shared node's existing eval (kNew-only init).
         ev = eval_fn(leaf_states)
-        util = ev.outcome_value + _score_utility(
-            params.score_weight, ev.score_est, root_sign * root_score_w)
+        util = ev.outcome_value + _leaf_score_utility(
+            params, ev.score_est, ev.score_var, root_sign * root_score_w)
         eval_active = leaf_new & valid0 & ~hit
         tree = _init_nodes(tree, leaf_node, ev, leaf_color, util, eval_active,
                            bw)
@@ -856,8 +954,11 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             oppv = jnp.where(leaf_color == BLACK, ws, bs)
             final_score = player - oppv
             emp_out = jnp.where(player > oppv, 1.0, -1.0)
-            emp_q = emp_out + _score_utility(params.score_weight, final_score,
-                                             root_sign * root_score_w)
+            # Terminal utility uses stddev 0 (EvaluateTerminal,
+            # leaf_evaluator.cc:177-180).
+            emp_q = emp_out + _leaf_score_utility(
+                params, final_score, jnp.zeros_like(final_score),
+                root_sign * root_score_w)
             t_active = leaf_terminal & valid0 \
                 & ~tree.is_terminal[bw, leaf_node]
             ln = jnp.where(t_active, leaf_node, spare)
@@ -967,6 +1068,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             edge_n=tree.edge_n + edge(inc.astype(jnp.float32),
                                       onp).astype(jnp.int32),
             edge_w=tree.edge_w + edge(add_w, onp),
+            edge_wz=tree.edge_wz + edge(add_wz, onp),
         )
 
         return tree, mcgs

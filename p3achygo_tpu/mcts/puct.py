@@ -35,6 +35,7 @@ from p3achygo_tpu.mcts.gumbel import (
     SearchParams,
     _cheap_scores,
     _init_nodes,
+    _leaf_score_utility,
     _score_utility,
 )
 from p3achygo_tpu.mcts.tree import (
@@ -65,6 +66,8 @@ class PuctParams:
     lcb_z: float = 1.96
     max_depth: int = 32
     score_weight: float = 0.5
+    # "direct" | "integral" (ScoreUtilityMode, leaf_evaluator.h:12-16).
+    score_utility_mode: str = "direct"
     terminal_mode: str = "cheap"
 
 
@@ -222,8 +225,8 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
         leaf_color = leaf_states.to_move
         root_sign = jnp.where(leaf_color == root_color, 1.0, -1.0)
         ev = eval_fn(leaf_states)
-        util = ev.outcome_value + _score_utility(
-            p.score_weight, ev.score_est, root_sign * root_score_est)
+        util = ev.outcome_value + _leaf_score_utility(
+            p, ev.score_est, ev.score_var, root_sign * root_score_est)
         tree = _init_nodes(tree, leaf_node, ev, leaf_color, util,
                            leaf_new & valid0)
 
@@ -236,8 +239,9 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
             oppv = jnp.where(leaf_color == BLACK, ws, bs)
             final_score = player - oppv
             emp_out = jnp.where(player > oppv, 1.0, -1.0)
-            emp_q = emp_out + _score_utility(p.score_weight, final_score,
-                                             root_sign * root_score_est)
+            emp_q = emp_out + _leaf_score_utility(
+                p, final_score, jnp.zeros_like(final_score),
+                root_sign * root_score_est)
             t_active = leaf_terminal & valid0 & ~tree.is_terminal[b, leaf_node]
             ln = jnp.where(t_active, leaf_node, spare)
             sel = lambda new, old: jnp.where(t_active, new, old)
@@ -339,6 +343,7 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
             edge_n=tree.edge_n + edge(onp, onp).astype(jnp.int32),
             edge_w=tree.edge_w + edge(add_w, onp),
+            edge_wz=tree.edge_wz + edge(add_wz, onp),
         )
         return (tree, key), valid0.astype(jnp.int32)
 

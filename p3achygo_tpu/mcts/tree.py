@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from p3achygo_tpu.constants import NUM_MOVES
+from p3achygo_tpu.constants import NUM_LOCS, NUM_MOVES
 
 # Q bounds (cc/mcts/constants.h:6-11).
 MIN_Q = -1.5
@@ -53,6 +53,7 @@ class Tree(NamedTuple):
     children: jnp.ndarray  # int32[B, N, 362] node index or -1
     edge_n: jnp.ndarray  # int32[B, N, 362] per-edge visit count
     edge_w: jnp.ndarray  # f32[B, N, 362] per-edge summed child utility
+    edge_wz: jnp.ndarray  # f32[B, N, 362] per-edge summed child outcome
     color: jnp.ndarray  # int8[B, N] player to move at node
     is_terminal: jnp.ndarray  # bool[B, N]
     evaluated: jnp.ndarray  # bool[B, N]
@@ -60,6 +61,17 @@ class Tree(NamedTuple):
     v_categorical: jnp.ndarray  # int32[B, N, 51] outcome-value histogram
     parent: jnp.ndarray  # int32[B, N] allocation parent (-1 for root)
     parent_action: jnp.ndarray  # int32[B, N] action from parent
+    # --- stored node board state (the reference keeps a Game copy along
+    # each search path; here every node stores its position once at
+    # creation so descents do NO board stepping — one step per sweep at
+    # the leaf instead of one per level, the dominant search cost) ---
+    s_stones: jnp.ndarray  # int8[B, N, 361]
+    s_chain: jnp.ndarray  # int16[B, N, 361] chain ids (-1 empty)
+    s_last5: jnp.ndarray  # int16[B, N, 5] last moves
+    s_ko: jnp.ndarray  # int16[B, N] simple-ko point (-1 none)
+    s_cpass: jnp.ndarray  # int8[B, N] consecutive passes
+    s_hash: jnp.ndarray  # uint32[B, N, 2] zobrist lanes
+    s_legal: jnp.ndarray  # bool[B, N, 362] legality for to-move at node
 
 
 def make_tree(batch_size: int, max_nodes: int) -> Tree:
@@ -79,6 +91,7 @@ def make_tree(batch_size: int, max_nodes: int) -> Tree:
         children=jnp.full((B, N, NUM_MOVES), NO_CHILD, jnp.int32),
         edge_n=jnp.zeros((B, N, NUM_MOVES), jnp.int32),
         edge_w=jnp.zeros((B, N, NUM_MOVES), jnp.float32),
+        edge_wz=jnp.zeros((B, N, NUM_MOVES), jnp.float32),
         color=jnp.zeros((B, N), jnp.int8),
         is_terminal=jnp.zeros((B, N), jnp.bool_),
         evaluated=jnp.zeros((B, N), jnp.bool_),
@@ -86,6 +99,13 @@ def make_tree(batch_size: int, max_nodes: int) -> Tree:
         v_categorical=jnp.zeros((B, N, NUM_V_BUCKETS), jnp.int32),
         parent=jnp.full((B, N), -1, jnp.int32),
         parent_action=jnp.zeros((B, N), jnp.int32),
+        s_stones=jnp.zeros((B, N, NUM_LOCS), jnp.int8),
+        s_chain=jnp.full((B, N, NUM_LOCS), -1, jnp.int16),
+        s_last5=jnp.full((B, N, 5), -1, jnp.int16),
+        s_ko=jnp.full((B, N), -1, jnp.int16),
+        s_cpass=jnp.zeros((B, N), jnp.int8),
+        s_hash=jnp.zeros((B, N, 2), jnp.uint32),
+        s_legal=jnp.zeros((B, N, NUM_MOVES), jnp.bool_),
     )
 
 
@@ -264,9 +284,44 @@ def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
     [B, N, 362] pointer array (which costs N passes over it). Boards whose
     chosen action has no child get an empty (unevaluated) tree.
     """
-    B, N = tree.n.shape
+    B = tree.n.shape[0]
     b = jnp.arange(B)
     new_root = tree.children[b, jnp.zeros((B,), jnp.int32), action]  # [B]
+    return _compact(tree, new_root, capacity)
+
+
+def compact_root(tree: Tree, capacity: int) -> Tree:
+    """Compact the WHOLE tree (root stays root) into `capacity` slots.
+
+    Used to re-feed an accumulated working tree as the next search's
+    init_tree at a fixed static capacity (GTP pondering keeps searching
+    the same root across batches, service.cc:677-705); nodes beyond
+    capacity are dropped in allocation order.
+
+    The root is never on a backprop path (only stitching touches it), so
+    its node stats are RECONSTRUCTED from its out-edges here:
+    n = 1 + sum(edge_n), w = init_util - sum(edge_w) (edge sums are in the
+    child's perspective), likewise w_outcome — keeping the
+    sum_children == n-1 invariant the improved policy relies on.
+    """
+    B = tree.n.shape[0]
+    out = _compact(tree, jnp.zeros((B,), jnp.int32), capacity)
+    ev = out.evaluated[:, 0]
+    en = out.edge_n[:, 0, :].astype(jnp.float32)
+    n0 = 1 + jnp.sum(en, axis=-1).astype(jnp.int32)
+    w0 = out.init_util[:, 0] - jnp.sum(out.edge_w[:, 0, :], axis=-1)
+    wz0 = out.init_outcome[:, 0] - jnp.sum(out.edge_wz[:, 0, :], axis=-1)
+    return out._replace(
+        n=out.n.at[:, 0].set(jnp.where(ev, n0, out.n[:, 0])),
+        w=out.w.at[:, 0].set(jnp.where(ev, w0, out.w[:, 0])),
+        w_outcome=out.w_outcome.at[:, 0].set(
+            jnp.where(ev, wz0, out.w_outcome[:, 0])),
+    )
+
+
+def _compact(tree: Tree, new_root: jnp.ndarray, capacity: int) -> Tree:
+    B, N = tree.n.shape
+    b = jnp.arange(B)
 
     # reachable[m] = (m == new_root) | reachable[parent[m]]
     def scan_body(reach, m):
@@ -338,6 +393,7 @@ def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
         children=children_new,
         edge_n=rows(tree.edge_n),
         edge_w=rows(tree.edge_w),
+        edge_wz=rows(tree.edge_wz),
         color=rows(tree.color),
         is_terminal=rows(tree.is_terminal.astype(jnp.int32)).astype(jnp.bool_),
         evaluated=rows(tree.evaluated.astype(jnp.int32)).astype(jnp.bool_),
@@ -350,5 +406,18 @@ def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
         v_categorical=rows(tree.v_categorical),
         parent=parent_new,
         parent_action=jnp.where(compact_reach, action_rows, 0),
+        s_stones=rows(tree.s_stones),
+        s_chain=rows(tree.s_chain),
+        s_last5=rows(tree.s_last5),
+        s_ko=rows(tree.s_ko),
+        s_cpass=rows(tree.s_cpass),
+        # uint32 hashes are not exact in f32: select the 16-bit halves
+        # separately (exact) and reassemble.
+        s_hash=(
+            (rows((tree.s_hash >> jnp.uint32(16)).astype(jnp.int32))
+             .astype(jnp.uint32) << jnp.uint32(16))
+            | rows((tree.s_hash & jnp.uint32(0xFFFF)).astype(jnp.int32))
+            .astype(jnp.uint32)),
+        s_legal=rows(tree.s_legal.astype(jnp.int32)).astype(jnp.bool_),
     )
     return out

@@ -279,3 +279,48 @@ class TestGroupedVisits:
                                       np.asarray(r1b.mcts_move))
         np.testing.assert_allclose(np.asarray(r1.root_value),
                                    np.asarray(r1b.root_value), rtol=1e-6)
+
+
+class TestScoreUtilityModes:
+    """Gaussian-integral score utility (ScoreUtilityMode kIntegral,
+    leaf_evaluator.cc:12-82) vs the direct transform."""
+
+    def test_integral_matches_direct_at_zero_stddev(self):
+        from p3achygo_tpu.mcts.gumbel import (
+            _score_utility,
+            _score_utility_integral,
+        )
+
+        se = jnp.asarray([10.0, -30.0, 0.5])
+        rs = jnp.asarray([4.0, -8.0, 0.0])
+        # stddev -> 0: integral == direct with the 0.75*root normalization
+        # (ScoreTransformIntegral:49-54).
+        direct = _score_utility(0.5, se, 0.75 * rs)
+        integ = _score_utility_integral(0.5, se, jnp.zeros(3), rs)
+        np.testing.assert_allclose(np.asarray(integ), np.asarray(direct),
+                                   atol=1e-4)
+
+    def test_integral_shrinks_with_uncertainty(self):
+        from p3achygo_tpu.mcts.gumbel import _score_utility_integral
+
+        mean = jnp.asarray([30.0])
+        tight = _score_utility_integral(0.5, mean, jnp.asarray([0.0]),
+                                        jnp.zeros(1))
+        wide = _score_utility_integral(0.5, mean, jnp.asarray([40.0]),
+                                       jnp.zeros(1))
+        assert float(wide[0]) < float(tight[0])
+
+    def test_search_runs_in_integral_mode(self):
+        from p3achygo_tpu.game.board import new_state
+        from p3achygo_tpu.mcts.gumbel import SearchParams, search_root
+        from p3achygo_tpu.mcts.puct import PuctParams, search_root_puct
+
+        states = jax.vmap(new_state)(jnp.asarray([7.5]))
+        p = SearchParams(n=8, k=4, noise_scale=0.0, max_depth=6,
+                         score_utility_mode="integral")
+        r = search_root(jax.random.PRNGKey(0), states, uniform_eval_fn, p)
+        assert 0 <= int(r.mcts_move[0]) <= 361
+        pp = PuctParams(n=8, max_depth=6, score_utility_mode="integral")
+        r2 = search_root_puct(jax.random.PRNGKey(1), states,
+                              uniform_eval_fn, pp)
+        assert 0 <= int(r2.mcts_move[0]) <= 361
