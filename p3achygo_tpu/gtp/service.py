@@ -1,15 +1,21 @@
 """GTP engine service (replaces cc/gtp/, 2,216 LoC C++).
 
 The reference runs a stdin thread -> command queue -> service thread ->
-response queue -> stdout thread (client.h:23-103) because its engine
-blocks on a shared GPU batcher. Here a genmove is one jitted call on the
-chip, so a plain synchronous loop suffices; analysis/pondering can layer
-asyncio on top later. Command set mirrors service.h:20-65 (core GTP +
-ownership/final_score extensions).
+response queue -> stdout thread (client.h:23-103) plus a ponder jthread
+(service.cc:667-705) because its engine blocks on a shared GPU batcher.
+Here a genmove is one jitted call on the chip, so a plain synchronous
+loop suffices; PONDERING maps to searching the persistent root tree in
+idle slices between commands (select on stdin), and lz-analyze with an
+interval streams info lines between search batches the same way. The
+service keeps ONE reuse tree across commands — genmove/play advance it
+under the played move (Reap), ponder/analyze batches accumulate into it
+(root-compacted back to a static capacity). Command set mirrors
+service.h:20-65 (core GTP + ownership/final_score extensions).
 """
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -27,6 +33,7 @@ from p3achygo_tpu.game.board import (
 from p3achygo_tpu.game.scoring import score as score_board
 from p3achygo_tpu.gtp.time_control import TimeControl
 from p3achygo_tpu.mcts.gumbel import EvalFn, SearchParams, search_root
+from p3achygo_tpu.mcts.tree import compact_root, compact_subtree, make_tree
 from p3achygo_tpu.sgf import extract_moves, parse_sgf
 
 _COLS = "ABCDEFGHJKLMNOPQRST"  # GTP skips I
@@ -65,6 +72,12 @@ class GtpConfig:
                                              tau=0.0))
     name: str = "p3achygo_tpu"
     version: str = "0.1"
+    # Carried-tree capacity across commands (0 = 2*n+2); ponder batches
+    # accumulate into it up to ponder_visit_cap root visits
+    # (total_visit_budget 1<<17, service.cc:692).
+    reuse_capacity: int = 0
+    ponder: bool = False
+    ponder_visit_cap: int = 1 << 14
 
 
 class GtpService:
@@ -87,22 +100,51 @@ class GtpService:
         self.time_control = TimeControl()
         self._last_root_v = None
         self._search_cache = {}
+        self._cap = self.config.reuse_capacity \
+            or (2 * self.config.search.n + 2)
+        self._tree = make_tree(1, self._cap)
+        self._compact_move = jax.jit(compact_subtree, static_argnums=(2,))
+        self._compact_root = jax.jit(compact_root, static_argnums=(1,))
         self._search = self._get_search(self.config.search.n)
 
     def _get_search(self, n: int):
-        """Per-visit-count jitted search (time control picks among sizes)."""
+        """Per-visit-count jitted search (time control picks among sizes);
+        every search reuses the carried tree -> (result, working_tree)."""
         if n not in self._search_cache:
             import dataclasses as _dc
 
             params = _dc.replace(self.config.search, n=n)
+            cap = self._cap
             self._search_cache[n] = jax.jit(
-                lambda key, st: search_root(
+                lambda key, st, tree: search_root(
                     key, jax.tree_util.tree_map(lambda x: x[None], st),
-                    self.eval_fn, params))
+                    self.eval_fn, params, init_tree=tree,
+                    reuse_capacity=cap))
         return self._search_cache[n]
 
     def _fresh(self) -> GoState:
         return new_state(self.komi)
+
+    def _reset_tree(self):
+        self._tree = make_tree(1, self._cap)
+
+    def _advance_tree(self, action: int, work=None):
+        """Reap the carried tree under a played move (service.cc genmove /
+        play paths advance current_root())."""
+        src = work if work is not None else self._tree
+        self._tree = self._compact_move(
+            src, jnp.asarray([action], jnp.int32), self._cap)
+
+    def ponder_once(self) -> int:
+        """One search batch on the current root, accumulated into the
+        carried tree (Ponder, service.cc:677-705). Returns the root's
+        total visits so the caller can stop at ponder_visit_cap."""
+        if bool(is_game_over(self.state)):
+            return 1 << 30
+        self.key, ks = jax.random.split(self.key)
+        _, work = self._search(ks, self.state, self._tree)
+        self._tree = self._compact_root(work, self._cap)
+        return int(self._tree.n[0, 0])
 
     # ---------------- command dispatch ----------------
     def handle(self, line: str) -> Tuple[bool, str]:
@@ -157,11 +199,13 @@ class GtpService:
     def cmd_clear_board(self):
         self._history = []
         self.state = self._fresh()
+        self._reset_tree()
         return ""
 
     def cmd_komi(self, value=""):
         self.komi = float(value)
         self.state = self.state._replace(komi=jnp.float32(self.komi))
+        self._reset_tree()  # carried values were computed for the old komi
         return ""
 
     def cmd_play(self, color="", vertex=""):
@@ -176,12 +220,14 @@ class GtpService:
             raise ValueError("illegal move")
         self._history.append(self.state)
         self.state, _ = step(st, jnp.int32(action))
+        self._advance_tree(action)
         return ""
 
     def cmd_undo(self):
         if not self._history:
             raise ValueError("cannot undo")
         self.state = self._history.pop()
+        self._reset_tree()
         return ""
 
     def cmd_genmove(self, color=""):
@@ -198,13 +244,14 @@ class GtpService:
         n = self.time_control.pick_visits(budget, choices, default=nmax)
         self.key, ks = jax.random.split(self.key)
         t0 = _time.time()
-        res = self._get_search(n)(ks, st)
+        res, work = self._get_search(n)(ks, st, self._tree)
         action = int(res.mcts_move[0])
         self.time_control.observe_search(
             (_time.time() - t0) * 1000.0, int(res.visits[0]))
         self._last_root_v = float(res.root_value[0])
         self._history.append(self.state)
         self.state, _ = step(st, jnp.int32(action))
+        self._advance_tree(action, work)
         return action_to_gtp_vertex(action)
 
     def cmd_time_settings(self, main_s="0", byo_s="0", byo_stones="0"):
@@ -220,13 +267,42 @@ class GtpService:
             self.time_control.set_time_left(secs, 0, 0)
         return ""
 
-    def cmd_lz_analyze(self, *args):
-        """One-shot analysis snapshot of the current position."""
+    @staticmethod
+    def _parse_analyze_args(args):
+        """lz-analyze [color] [interval_centiseconds]."""
+        interval_cs = None
+        for a in args:
+            if a.isdigit():
+                interval_cs = int(a)
+        return interval_cs
+
+    def _analyze_batch(self):
+        """One accumulated search batch -> (rows, formatted info line)."""
         from p3achygo_tpu.gtp.analysis import analysis_rows, format_lz_analyze
 
         self.key, ks = jax.random.split(self.key)
-        res = self._search(ks, self.state)
-        return format_lz_analyze(analysis_rows(res))
+        res, work = self._search(ks, self.state, self._tree)
+        self._tree = self._compact_root(work, self._cap)
+        rows = analysis_rows(res, work=self._tree)
+        return rows, format_lz_analyze(rows)
+
+    def cmd_lz_analyze(self, *args):
+        """One-shot analysis snapshot (streaming happens in
+        run_stdin_loop's analyze path, service.cc:561-605)."""
+        _, line = self._analyze_batch()
+        return line
+
+    def analyze_stream(self, args, write: Callable[[str], None],
+                       input_ready: Callable[[], bool],
+                       max_batches: int = 1 << 20):
+        """Stream lz-analyze info lines between search batches until a new
+        command is pending on stdin (the reference's analyze thread,
+        service.cc:561-605); the carried tree accumulates visits."""
+        for _ in range(max_batches):
+            _, line = self._analyze_batch()
+            write(line + "\n")
+            if input_ready():
+                return
 
     def cmd_showboard(self):
         from p3achygo_tpu.game.dsl import render
@@ -265,15 +341,57 @@ class GtpService:
 
 
 def run_stdin_loop(service: GtpService, infile=None, outfile=None):
-    """Blocking GTP REPL (client.cc parity)."""
+    """Blocking GTP REPL (client.cc parity) with idle-slice pondering and
+    streamed lz-analyze when the input supports select()."""
+    import select
     import sys
 
     infile = infile or sys.stdin
     outfile = outfile or sys.stdout
-    for line in infile:
+
+    try:
+        fd = infile.fileno()
+
+        def input_ready() -> bool:
+            return bool(select.select([fd], [], [], 0.0)[0])
+    except Exception:  # StringIO / pipes without fileno: no idle work
+        fd = None
+
+        def input_ready() -> bool:
+            return True
+
+    def read_line():
+        """Next stdin line; ponder in idle slices while waiting
+        (Ponder, service.cc:667-705)."""
+        if fd is None or not service.config.ponder:
+            return infile.readline()
+        while True:
+            if input_ready():
+                return infile.readline()
+            if service.ponder_once() >= service.config.ponder_visit_cap:
+                return infile.readline()  # cap reached: block normally
+
+    while True:
+        line = read_line()
+        if line == "":
+            return
         line = line.split("#")[0]
         if not line.strip():
             continue
+        parts = line.strip().split()
+        cmd = parts[1] if parts and parts[0].isdigit() and len(parts) > 1 \
+            else (parts[0] if parts else "")
+        if cmd == "lz-analyze" and fd is not None:
+            interval = GtpService._parse_analyze_args(parts[1:])
+            if interval is not None:
+                outfile.write("=\n")
+                outfile.flush()
+                service.analyze_stream(
+                    parts[1:], lambda s: (outfile.write(s),
+                                          outfile.flush()), input_ready)
+                outfile.write("\n")
+                outfile.flush()
+                continue
         try:
             ok, resp = service.handle(line)
         except SystemExit:

@@ -114,3 +114,72 @@ def test_time_control_budget_math():
     tc2.ms_per_visit = 10.0
     assert tc2.pick_visits(700, (16, 32, 64, 128)) == 64
     assert tc2.pick_visits(50, (16, 32, 64)) == 16
+
+
+def _tiny_service(biased=False, **cfg_kwargs):
+    from p3achygo_tpu.gtp.service import GtpConfig, GtpService
+    import jax
+    import jax.numpy as jnp
+    from p3achygo_tpu.constants import NUM_MOVES as _NM
+
+    if biased:
+        # Concentrated priors so search visits pile onto a short line
+        # (uniform priors spread ~40 visits over 362 moves and rarely
+        # build a 2-deep PV).
+        def eval_fn(states):
+            out = uniform_eval_fn(states)
+            B = states.stones.shape[0]
+            lg = jnp.zeros((B, _NM)).at[:, 60].set(3.0).at[:, 61].set(2.7)
+            return out._replace(log_priors=jax.nn.log_softmax(lg, -1))
+    else:
+        eval_fn = uniform_eval_fn
+    return GtpService(eval_fn, GtpConfig(
+        search=SearchParams(n=8, k=4, noise_scale=0.0, tau=0.0, max_depth=6),
+        **cfg_kwargs))
+
+
+def test_gtp_tree_reuse_and_ponder_accumulates():
+    """The carried tree persists across commands and ponder batches
+    accumulate root visits (Ponder, service.cc:667-705)."""
+    svc = _tiny_service()
+    ok, _ = svc.handle("genmove b")
+    assert ok
+    assert int(svc._tree.n[0, 0]) > 0  # subtree carried under the move
+    ok, _ = svc.handle("play w D4")
+    assert ok
+    v = [svc.ponder_once() for _ in range(3)]
+    assert v[2] > v[1] > v[0]
+    # a played move reaps the tree; clear resets it
+    ok, _ = svc.handle("play b E5")
+    assert ok
+    svc.handle("clear_board")
+    assert int(svc._tree.n[0, 0]) == 0
+
+
+def test_lz_analyze_pv_depth_and_stream():
+    from p3achygo_tpu.gtp.analysis import extract_pv
+
+    svc = _tiny_service(biased=True)
+    for _ in range(4):
+        svc.ponder_once()
+    ok, line = svc.handle("lz-analyze")
+    assert ok and "info move" in line and "pv" in line
+    # PV extends beyond depth 1 after a few accumulated batches.
+    import numpy as _np
+
+    en0 = _np.asarray(svc._tree.edge_n[0, 0])
+    top = int(en0.argmax())
+    pv = extract_pv(svc._tree, top)
+    assert len(pv) >= 2
+
+    # streaming writer path: emits one line per batch until input_ready
+    lines = []
+    calls = {"n": 0}
+
+    def ready():
+        calls["n"] += 1
+        return calls["n"] >= 3
+
+    svc.analyze_stream((), lines.append, ready)
+    assert len(lines) == 3
+    assert all("info move" in l for l in lines)
