@@ -26,6 +26,8 @@ class PlayerSearchConfig:
     use_mcgs: bool = False
     # Grouped visits (SearchParams.visit_group; 1 = reference semantics).
     visit_group: int = 1
+    # "direct" | "integral" (ScoreUtilityMode, leaf_evaluator.h:12-16).
+    score_utility_mode: str = "direct"
     # puct knobs
     c_puct: float = 1.0
     c_puct_visit_scaling: float = 0.45
@@ -41,7 +43,8 @@ class PlayerSearchConfig:
                             score_weight=self.score_weight,
                             max_depth=self.max_depth,
                             use_mcgs=self.use_mcgs,
-                            visit_group=self.visit_group)
+                            visit_group=self.visit_group,
+                            score_utility_mode=self.score_utility_mode)
 
     def to_puct_params(self) -> PuctParams:
         return PuctParams(n=self.n, c_puct=self.c_puct,
@@ -51,7 +54,8 @@ class PlayerSearchConfig:
                           var_scale_prior_visits=self.var_scale_prior_visits,
                           root_selection=self.root_selection, tau=self.tau,
                           max_depth=self.max_depth,
-                          score_weight=self.score_weight)
+                          score_weight=self.score_weight,
+                          score_utility_mode=self.score_utility_mode)
 
 
 def parse_player_config(text: str) -> PlayerSearchConfig:
