@@ -47,8 +47,8 @@ def main():
     B = 1024
     RCAP = 64
     cfg = SelfplayConfig(batch_size=B)
-    p_sel = SearchParams(n=128, k=8, noise_scale=1.0, max_depth=24)
-    p_fast = SearchParams(n=32, k=5, noise_scale=1.0, max_depth=24)
+    p_sel = SearchParams(n=128, k=8, noise_scale=1.0, max_depth=24, visit_group=4)
+    p_fast = SearchParams(n=32, k=5, noise_scale=1.0, max_depth=24, visit_group=4)
     model = build_model(get_config("b12c128btl3"), dtype=jnp.bfloat16)
     variables = init_params(model, jax.random.PRNGKey(0))
     eval_fn = make_eval_fn(model, variables)
