@@ -1030,45 +1030,80 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                           NUM_V_BUCKETS - 1)
         nonleaf = on_path & ~is_leaf_slot
         # One-hot contraction instead of scatter-add: batched multi-index
-        # scatters serialize on TPU; this is a small MXU matmul. All k_r*D
-        # path entries of a board fold into one [I, max_nodes] one-hot.
+        # scatters serialize on TPU; this is a small MXU matmul. All L*D
+        # path entries of a board fold into one [I, max_nodes] one-hot,
+        # read ONCE for all seven node statistics (n/w/wz/score/var/varz +
+        # the 51-bucket histogram) via a stacked [B, I, 57] value tensor —
+        # per-stat einsums would re-read the ~150MB one-hot each time.
         I = L * D
         oh = jax.nn.one_hot(node_s.reshape(B, I), max_nodes,
                             dtype=jnp.float32)  # [B, I, N]
         onp = on_path.reshape(B, I).astype(jnp.float32)
         nlf = nonleaf.reshape(B, I).astype(jnp.float32)
-        acc = lambda vals, m: jnp.einsum(
-            "bi,bin->bn", vals.reshape(B, I) * m, oh,
-            preferred_element_type=jnp.float32)
         oh_bucket = jax.nn.one_hot(bucket.reshape(B, I), NUM_V_BUCKETS,
                                    dtype=jnp.float32)
-        cat_add = jnp.einsum("bin,bik->bnk", oh * nlf[:, :, None], oh_bucket,
-                             preferred_element_type=jnp.float32)
+        stacked = jnp.concatenate([
+            jnp.stack([
+                onp,
+                add_w.reshape(B, I) * onp,
+                add_wz.reshape(B, I) * onp,
+                add_sc.reshape(B, I) * onp,
+                dvar.reshape(B, I) * nlf,
+                dvar_z.reshape(B, I) * nlf,
+            ], axis=-1),
+            oh_bucket * nlf[:, :, None],
+        ], axis=-1)  # [B, I, 6 + 51]
+        deltas = jnp.einsum("bif,bin->bnf", stacked, oh,
+                            preferred_element_type=jnp.float32)
+        d_n, d_w, d_wz, d_sc, d_var, d_varz = (deltas[..., i]
+                                               for i in range(6))
+        cat_add = deltas[..., 6:]
 
         # Edge-stat updates: the edge (parent, action) accumulates the same
         # increments as its child node (tree mode: edge stats == child
-        # stats), enabling gather-free child reads during descent.
-        parents = jnp.concatenate(
-            [jnp.zeros((W, 1), jnp.int32), node_s[:, :-1]], axis=1)
-        oh_parent = jax.nn.one_hot(parents.reshape(B, I), max_nodes,
-                                   dtype=jnp.float32)
-        oh_act = jax.nn.one_hot(path_actions.reshape(B, I), NUM_MOVES,
-                                dtype=jnp.float32)
-        edge = lambda vals, m: jnp.einsum(
-            "bin,bia->bna", oh_parent * (vals.reshape(B, I) * m)[:, :, None],
-            oh_act, preferred_element_type=jnp.float32)
+        # stats), enabling gather-free child reads during descent. In tree
+        # mode every node has ONE incoming edge (parent, parent_action),
+        # so the edge updates are the node deltas scattered by the parent
+        # table — [B, N(, N|362)] one-hots instead of the 4x bigger
+        # [B, I, .] pair. Under MCGS (multi-parent nodes) the delta must
+        # follow the edge actually traversed: fall back to path one-hots.
+        if mcgs is None:
+            par_valid = tree.parent >= 0  # root/unset rows route to zero
+            oh_pm = jax.nn.one_hot(
+                jnp.where(par_valid, tree.parent, max_nodes), max_nodes,
+                dtype=jnp.float32)  # [B, N(child), N(parent)]
+            oh_am = jax.nn.one_hot(tree.parent_action, NUM_MOVES,
+                                   dtype=jnp.float32)  # [B, N, 362]
+            edge_delta = lambda dv: jnp.einsum(
+                "bmn,bma->bna", oh_pm * dv[:, :, None], oh_am,
+                preferred_element_type=jnp.float32)
+            e_n, e_w, e_wz = (edge_delta(d_n), edge_delta(d_w),
+                              edge_delta(d_wz))
+        else:
+            parents = jnp.concatenate(
+                [jnp.zeros((W, 1), jnp.int32), node_s[:, :-1]], axis=1)
+            oh_parent = jax.nn.one_hot(parents.reshape(B, I), max_nodes,
+                                       dtype=jnp.float32)
+            oh_act = jax.nn.one_hot(path_actions.reshape(B, I), NUM_MOVES,
+                                    dtype=jnp.float32)
+            edge = lambda vals, m: jnp.einsum(
+                "bin,bia->bna",
+                oh_parent * (vals.reshape(B, I) * m)[:, :, None],
+                oh_act, preferred_element_type=jnp.float32)
+            e_n = edge(inc.astype(jnp.float32), onp)
+            e_w = edge(add_w, onp)
+            e_wz = edge(add_wz, onp)
         tree = tree._replace(
-            n=tree.n + acc(inc.astype(jnp.float32), onp).astype(jnp.int32),
-            w=tree.w + acc(add_w, onp),
-            w_outcome=tree.w_outcome + acc(add_wz, onp),
-            score_sum=tree.score_sum + acc(add_sc, onp),
-            v_var_sum=tree.v_var_sum + acc(dvar, nlf),
-            vz_var_sum=tree.vz_var_sum + acc(dvar_z, nlf),
+            n=tree.n + d_n.astype(jnp.int32),
+            w=tree.w + d_w,
+            w_outcome=tree.w_outcome + d_wz,
+            score_sum=tree.score_sum + d_sc,
+            v_var_sum=tree.v_var_sum + d_var,
+            vz_var_sum=tree.vz_var_sum + d_varz,
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
-            edge_n=tree.edge_n + edge(inc.astype(jnp.float32),
-                                      onp).astype(jnp.int32),
-            edge_w=tree.edge_w + edge(add_w, onp),
-            edge_wz=tree.edge_wz + edge(add_wz, onp),
+            edge_n=tree.edge_n + e_n.astype(jnp.int32),
+            edge_w=tree.edge_w + e_w,
+            edge_wz=tree.edge_wz + e_wz,
         )
 
         return tree, mcgs
