@@ -467,21 +467,39 @@ class GenerationLoop:
             yield planes, scalars
 
     def validate(self, num_batches: Optional[int] = None) -> dict:
-        """Held-out losses + accuracy metrics (train.py:1038 val)."""
+        """Held-out losses + accuracy metrics (train.py:1038 val), plus a
+        rendered sample-board diagnostic per generation
+        (log_board_position, train.py:748-1020)."""
         num_batches = num_batches or self.cfg.val_batches
         if len(self.val_replay) == 0 or num_batches <= 0:
             return {}
         variables = {"params": self.train_state.params,
                      "batch_stats": self.train_state.batch_stats}
         totals: dict = {}
+        last = None
         for _ in range(num_batches):
             batch = self.val_replay.sample(self.cfg.train_batch_size)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.key, kp = jax.random.split(self.key)
             planes, scalars, targets = self._prepare_val(kp, batch)
             out = self._val_fn(variables, planes, scalars, targets)
+            last = (planes, scalars, targets)
             for key, val in out.items():
                 totals[key] = totals.get(key, 0.0) + float(val)
+        if last is not None:
+            try:
+                from p3achygo_tpu.train.render import render_sample
+
+                planes, scalars, targets = last
+                outputs = self.model.apply(variables, planes, scalars,
+                                           train=False)
+                with open(os.path.join(self.root, "train_samples.txt"),
+                          "a") as f:
+                    f.write(f"\n# generation {self.gen}\n")
+                    f.write(render_sample(planes, scalars, outputs, targets))
+                    f.write("\n")
+            except Exception:  # diagnostics must never kill the run
+                pass
         return {f"val_{k}": v / num_batches for k, v in totals.items()}
 
     # ---------------- eval + promotion ----------------
