@@ -78,6 +78,9 @@ class GtpConfig:
     reuse_capacity: int = 0
     ponder: bool = False
     ponder_visit_cap: int = 1 << 14
+    # Value-bias cache (use_bias_cache, eval.cc:156-163; 0 = off).
+    bias_lambda: float = 0.0
+    bias_alpha: float = 0.8
 
 
 class GtpService:
@@ -103,6 +106,12 @@ class GtpService:
         self._cap = self.config.reuse_capacity \
             or (2 * self.config.search.n + 2)
         self._tree = make_tree(1, self._cap)
+        if self.config.bias_lambda > 0:
+            from p3achygo_tpu.mcts.bias import make_bias_table
+
+            self._bias = make_bias_table(1, 1024)
+        else:
+            self._bias = None
         self._compact_move = jax.jit(compact_subtree, static_argnums=(2,))
         self._compact_root = jax.jit(compact_root, static_argnums=(1,))
         self._search = self._get_search(self.config.search.n)
@@ -113,14 +122,32 @@ class GtpService:
         if n not in self._search_cache:
             import dataclasses as _dc
 
-            params = _dc.replace(self.config.search, n=n)
+            params = _dc.replace(self.config.search, n=n,
+                                 bias_lambda=self.config.bias_lambda,
+                                 bias_alpha=self.config.bias_alpha)
             cap = self._cap
-            self._search_cache[n] = jax.jit(
-                lambda key, st, tree: search_root(
-                    key, jax.tree_util.tree_map(lambda x: x[None], st),
-                    self.eval_fn, params, init_tree=tree,
-                    reuse_capacity=cap))
+            if self._bias is not None:
+                self._search_cache[n] = jax.jit(
+                    lambda key, st, tree, bias: search_root(
+                        key, jax.tree_util.tree_map(lambda x: x[None], st),
+                        self.eval_fn, params, init_tree=tree,
+                        reuse_capacity=cap, bias_table=bias))
+            else:
+                self._search_cache[n] = jax.jit(
+                    lambda key, st, tree: search_root(
+                        key, jax.tree_util.tree_map(lambda x: x[None], st),
+                        self.eval_fn, params, init_tree=tree,
+                        reuse_capacity=cap))
         return self._search_cache[n]
+
+    def _run_search(self, n, key, st):
+        """Search with the carried tree (and bias table when enabled)."""
+        fn = self._get_search(n)
+        if self._bias is not None:
+            res, work, self._bias = fn(key, st, self._tree, self._bias)
+        else:
+            res, work = fn(key, st, self._tree)
+        return res, work
 
     def _fresh(self) -> GoState:
         return new_state(self.komi)
@@ -142,7 +169,7 @@ class GtpService:
         if bool(is_game_over(self.state)):
             return 1 << 30
         self.key, ks = jax.random.split(self.key)
-        _, work = self._search(ks, self.state, self._tree)
+        _, work = self._run_search(self.config.search.n, ks, self.state)
         self._tree = self._compact_root(work, self._cap)
         return int(self._tree.n[0, 0])
 
@@ -244,7 +271,7 @@ class GtpService:
         n = self.time_control.pick_visits(budget, choices, default=nmax)
         self.key, ks = jax.random.split(self.key)
         t0 = _time.time()
-        res, work = self._get_search(n)(ks, st, self._tree)
+        res, work = self._run_search(n, ks, st)
         action = int(res.mcts_move[0])
         self.time_control.observe_search(
             (_time.time() - t0) * 1000.0, int(res.visits[0]))
@@ -281,7 +308,7 @@ class GtpService:
         from p3achygo_tpu.gtp.analysis import analysis_rows, format_lz_analyze
 
         self.key, ks = jax.random.split(self.key)
-        res, work = self._search(ks, self.state, self._tree)
+        res, work = self._run_search(self.config.search.n, ks, self.state)
         self._tree = self._compact_root(work, self._cap)
         rows = analysis_rows(res, work=self._tree)
         return rows, format_lz_analyze(rows)

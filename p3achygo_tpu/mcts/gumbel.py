@@ -135,6 +135,13 @@ class SearchParams:
     # allocating, so transposed positions share one node and its stats pool
     # across paths. See tree.py McgsTable for the TPU design + deviations.
     use_mcgs: bool = False
+    # Local-pattern value-bias cache (bias_cache.h; see mcts/bias.py).
+    # lambda 0 = disabled (the reference's default, selfplay/main.cc:58);
+    # when > 0 AND a BiasTable is passed to search_root, fresh leaf
+    # utilities are corrected by the pattern's observed NN error and the
+    # error statistics accumulate at end of search.
+    bias_lambda: float = 0.0
+    bias_alpha: float = 0.8
     # Grouped visits: run `visit_group` of a round's per-candidate visits in
     # ONE k*g-wide sweep instead of g sequential sweeps. Within a group the
     # tree statistics are FROZEN and the g visits are apportioned by the
@@ -540,7 +547,8 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                 params: SearchParams,
                 tau: Optional[jnp.ndarray] = None,
                 init_tree: Optional[Tree] = None,
-                reuse_capacity: int = 0):
+                reuse_capacity: int = 0,
+                bias_table=None):
     """Run sequential-halving Gumbel search on a batch of boards.
 
     `tau` optionally overrides params.tau with a per-board [B] temperature
@@ -683,7 +691,11 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             root_value_dist=jnp.zeros((B, NUM_V_BUCKETS), jnp.int32),
             root_child_q=jnp.full((B, NUM_MOVES), MIN_Q),
         )
-        # Callers passing init_tree expect a (result, working_tree) tuple.
+        # Callers passing init_tree / bias_table expect matching tuples.
+        if params.bias_lambda > 0 and bias_table is not None:
+            if init_tree is not None:
+                return result, tree, bias_table
+            return result, bias_table
         if init_tree is not None:
             return result, tree
         return result
@@ -692,6 +704,8 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
     cand_actions = cand_actions.astype(jnp.int32)
     cand_valid = jnp.take_along_axis(legal0, cand_actions, axis=1)
     board_over = jax.vmap(is_game_over)(states)
+
+    use_bias = params.bias_lambda > 0 and bias_table is not None
 
     # --- k-wide visit sweeps, round-width specialized ---
     # The reference visits the k candidates sequentially within each visit
@@ -941,6 +955,37 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         util = ev.outcome_value + _leaf_score_utility(
             params, ev.score_est, ev.score_var, root_sign * root_score_w)
         eval_active = leaf_new & valid0 & ~hit
+        if use_bias:
+            # Local-pattern value correction: q_nn - lambda * bias
+            # (bias_cache.h Fetch; applied where the reference's
+            # idempotent recompute subtracts obs_bias). The pattern slot
+            # is remembered on the node for end-of-search accumulation.
+            from p3achygo_tpu.mcts.bias import bias_probe, local_pattern_keys
+            from p3achygo_tpu.ops.liberties import point_liberties_auto
+
+            libs = point_liberties_auto(leaf_states.stones,
+                                        leaf_states.chain_id)
+            atari = libs == 1
+            ill_empty = (leaf_states.stones == 0) & ~leaf_legal[:, :361]
+            bh0, bh1, bvalid = local_pattern_keys(
+                leaf_states.stones, atari, ill_empty,
+                leaf_states.last_moves, leaf_states.to_move)
+            bnum, bden, bslot, bcan = bias_probe(bias_table, L, bh0, bh1,
+                                                 bvalid)
+            corr = jnp.where(bden > 0,
+                             params.bias_lambda * bnum
+                             / jnp.maximum(bden, 1e-9), 0.0)
+            util = util - corr
+            slot_val = jnp.where(bcan, bslot, -1)
+            wr_b = eval_active
+            tree = tree._replace(
+                bias_slot=tree.bias_slot.at[bw, ln_routed].set(
+                    jnp.where(wr_b, slot_val, tree.bias_slot[bw, ln_routed])),
+                bias_k0=tree.bias_k0.at[bw, ln_routed].set(
+                    jnp.where(wr_b, bh0, tree.bias_k0[bw, ln_routed])),
+                bias_k1=tree.bias_k1.at[bw, ln_routed].set(
+                    jnp.where(wr_b, bh1, tree.bias_k1[bw, ln_routed])),
+            )
         tree = _init_nodes(tree, leaf_node, ev, leaf_color, util, eval_active,
                            bw)
 
@@ -1305,6 +1350,29 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         root_value_dist=root_value_dist,
         root_child_q=q0,
     )
+    if use_bias:
+        # End-of-search bias accumulation (UpdateAndFetch telescoped,
+        # bias_cache.h:155-185): obs_err = init_util + sum(edge_w)/(n-1)
+        # (edge sums are child-perspective), weight = (n-1)^alpha; per-node
+        # deltas vs the last contributed terms keep tree reuse exact.
+        from p3achygo_tpu.mcts.bias import bias_accumulate
+
+        nm1 = (tree.n - 1).astype(jnp.float32)
+        upd = (tree.bias_slot >= 0) & (tree.n >= 2) & tree.evaluated
+        obs_err = tree.init_util \
+            + jnp.sum(tree.edge_w, axis=-1) / jnp.maximum(nm1, 1.0)
+        w_term = jnp.maximum(nm1, 0.0) ** params.bias_alpha
+        obs_term = obs_err * w_term
+        d_err = jnp.where(upd, obs_term - tree.bias_obs_last, 0.0)
+        d_w = jnp.where(upd, w_term - tree.bias_w_last, 0.0)
+        bias_table = bias_accumulate(bias_table, tree.bias_slot, upd,
+                                     tree.bias_k0, tree.bias_k1, d_err, d_w)
+        tree = tree._replace(
+            bias_obs_last=jnp.where(upd, obs_term, tree.bias_obs_last),
+            bias_w_last=jnp.where(upd, w_term, tree.bias_w_last))
+        if init_tree is not None:
+            return result, tree, bias_table
+        return result, bias_table
     if init_tree is not None:
         return result, tree
     return result

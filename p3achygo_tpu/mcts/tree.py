@@ -72,6 +72,14 @@ class Tree(NamedTuple):
     s_cpass: jnp.ndarray  # int8[B, N] consecutive passes
     s_hash: jnp.ndarray  # uint32[B, N, 2] zobrist lanes
     s_legal: jnp.ndarray  # bool[B, N, 362] legality for to-move at node
+    # --- value-bias cache bookkeeping (bias_cache.h; mcts/bias.py):
+    # the node's pattern slot/keys and its LAST contributed terms so
+    # accumulation telescopes across searches under tree reuse ---
+    bias_slot: jnp.ndarray  # int32[B, N] pattern table slot (-1 none)
+    bias_k0: jnp.ndarray  # uint32[B, N]
+    bias_k1: jnp.ndarray  # uint32[B, N]
+    bias_obs_last: jnp.ndarray  # f32[B, N] last contributed err term
+    bias_w_last: jnp.ndarray  # f32[B, N] last contributed weight term
 
 
 def make_tree(batch_size: int, max_nodes: int) -> Tree:
@@ -106,6 +114,11 @@ def make_tree(batch_size: int, max_nodes: int) -> Tree:
         s_cpass=jnp.zeros((B, N), jnp.int8),
         s_hash=jnp.zeros((B, N, 2), jnp.uint32),
         s_legal=jnp.zeros((B, N, NUM_MOVES), jnp.bool_),
+        bias_slot=jnp.full((B, N), -1, jnp.int32),
+        bias_k0=jnp.zeros((B, N), jnp.uint32),
+        bias_k1=jnp.zeros((B, N), jnp.uint32),
+        bias_obs_last=jnp.zeros((B, N), jnp.float32),
+        bias_w_last=jnp.zeros((B, N), jnp.float32),
     )
 
 
@@ -419,5 +432,19 @@ def _compact(tree: Tree, new_root: jnp.ndarray, capacity: int) -> Tree:
             | rows((tree.s_hash & jnp.uint32(0xFFFF)).astype(jnp.int32))
             .astype(jnp.uint32)),
         s_legal=rows(tree.s_legal.astype(jnp.int32)).astype(jnp.bool_),
+        # unreachable rows must read slot -1, not 0
+        bias_slot=jnp.where(compact_reach, rows(tree.bias_slot), -1),
+        bias_k0=(
+            (rows((tree.bias_k0 >> jnp.uint32(16)).astype(jnp.int32))
+             .astype(jnp.uint32) << jnp.uint32(16))
+            | rows((tree.bias_k0 & jnp.uint32(0xFFFF)).astype(jnp.int32))
+            .astype(jnp.uint32)),
+        bias_k1=(
+            (rows((tree.bias_k1 >> jnp.uint32(16)).astype(jnp.int32))
+             .astype(jnp.uint32) << jnp.uint32(16))
+            | rows((tree.bias_k1 & jnp.uint32(0xFFFF)).astype(jnp.int32))
+            .astype(jnp.uint32)),
+        bias_obs_last=rows(tree.bias_obs_last),
+        bias_w_last=rows(tree.bias_w_last),
     )
     return out

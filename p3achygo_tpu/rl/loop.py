@@ -192,6 +192,14 @@ class GenerationLoop:
         self.reuse_capacity = max_n + 2 if self.sp_cfg.tree_reuse else 0
         self.tree = (make_tree(B, self.reuse_capacity)
                      if self.sp_cfg.tree_reuse else None)
+        # Value-bias cache (bias_cache.h; OFF by default like the
+        # reference, selfplay/main.cc:58).
+        if cfg.bias_cache_lambda > 0:
+            from p3achygo_tpu.mcts.bias import make_bias_table
+
+            self.bias = make_bias_table(B, 1024)
+        else:
+            self.bias = None
         self.sgf_dir: Optional[str] = None
         self._sp_steps = None
         self._np_rng = np.random.default_rng(seed + 2)
@@ -211,12 +219,25 @@ class GenerationLoop:
         n_f, k_f = gumbel_params_for_gen(self.cfg, self.gen, selected=False)
         es = self.cfg.early_stopping_enabled
         vg = max(self.cfg.visit_group, 1)
+        bl, ba = self.cfg.bias_cache_lambda, self.cfg.bias_cache_alpha
         params_sel = SearchParams(n=n_s, k=k_s, noise_scale=1.0, max_depth=24,
-                                  early_stopping=es, visit_group=vg)
+                                  early_stopping=es, visit_group=vg,
+                                  bias_lambda=bl, bias_alpha=ba)
         params_fast = SearchParams(n=n_f, k=k_f, noise_scale=1.0,
                                    max_depth=24, early_stopping=es,
-                                   visit_group=vg)
-        if self.tree is not None:
+                                   visit_group=vg, bias_lambda=bl,
+                                   bias_alpha=ba)
+        if self.tree is not None and self.bias is not None:
+            @jax.jit
+            def sp_step(states, buf, aux, tree, bias, key, golden, calib,
+                        sel_base):
+                eval_fn = make_eval_fn(self.model, golden)
+                return selfplay_step_tiered(
+                    states, buf, aux, key, eval_fn, params_sel, params_fast,
+                    cfg, reuse_tree=tree,
+                    reuse_capacity=self.reuse_capacity,
+                    calib=calib, sel_mult_base=sel_base, bias_table=bias)
+        elif self.tree is not None:
             @jax.jit
             def sp_step(states, buf, aux, tree, key, golden, calib,
                         sel_base):
@@ -244,7 +265,12 @@ class GenerationLoop:
         B = self.cfg.selfplay_batch_size
         while (self.replay.games_added - start_games) < num_games \
                 and plies < max_plies:
-            if self.tree is not None:
+            if self.tree is not None and self.bias is not None:
+                (self.states, self.buf, self.aux, self.tree, self.bias,
+                 self.key) = self._sp_steps(
+                    self.states, self.buf, self.aux, self.tree, self.bias,
+                    self.key, self.golden, self.calib, self.sel_mult_base)
+            elif self.tree is not None:
                 (self.states, self.buf, self.aux, self.tree,
                  self.key) = self._sp_steps(
                     self.states, self.buf, self.aux, self.tree, self.key,
@@ -357,8 +383,11 @@ class GenerationLoop:
             self.states, self.buf, self.aux, jnp.asarray(done),
             komi_arr, kreset, init_states, use_init,
             max_raw_policy_moves=self.sp_cfg.max_raw_policy_moves,
-            reuse_tree=self.tree, no_raw=no_raw, force_sel=force_sel)
-        if self.tree is not None:
+            reuse_tree=self.tree, no_raw=no_raw, force_sel=force_sel,
+            bias_table=self.bias)
+        if self.tree is not None and self.bias is not None:
+            self.states, self.buf, self.aux, self.tree, self.bias = out
+        elif self.tree is not None:
             self.states, self.buf, self.aux, self.tree = out
         else:
             self.states, self.buf, self.aux = out

@@ -357,7 +357,7 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
                          params_sel: SearchParams, params_fast: SearchParams,
                          cfg: SelfplayConfig,
                          reuse_tree=None, reuse_capacity: int = 0,
-                         calib=None, sel_mult_base=None):
+                         calib=None, sel_mult_base=None, bias_table=None):
     """One lockstep move with PER-BOARD playout-cap randomization.
 
     The reference picks a search tier per move per thread
@@ -404,13 +404,20 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     def run_tier(idx, params, ksearch, kraw):
         take = lambda x: jnp.take(x, idx, axis=0)
         st = jax.tree_util.tree_map(take, states)
+        use_bias = bias_table is not None and params.bias_lambda > 0
+        bt = (jax.tree_util.tree_map(take, bias_table)
+              if use_bias else None)
         if reuse_tree is not None:
             tr = jax.tree_util.tree_map(take, reuse_tree)
-            res, work = search_root(ksearch, st, eval_fn, params,
-                                    tau=take(tau), init_tree=tr,
-                                    reuse_capacity=reuse_capacity)
+            out = search_root(ksearch, st, eval_fn, params,
+                              tau=take(tau), init_tree=tr,
+                              reuse_capacity=reuse_capacity,
+                              bias_table=bt)
+            (res, work, bt) = out if use_bias else (*out, None)
         else:
-            res = search_root(ksearch, st, eval_fn, params, tau=take(tau))
+            out = search_root(ksearch, st, eval_fn, params, tau=take(tau),
+                              bias_table=bt)
+            (res, bt) = out if use_bias else (out, None)
             work = None
         move, sampling_raw, over = _choose_move(st, res,
                                                 take(aux.raw_until), kraw)
@@ -420,10 +427,11 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
         else:
             ntree = None
             nn_q, nn_unc = take(pre.nn_q), take(pre.nn_uncertainty)
-        return (res, move, sampling_raw, over, nn_q, nn_unc), ntree
+        return (res, move, sampling_raw, over, nn_q, nn_unc), ntree, bt
 
-    out_sel, tree_sel = run_tier(perm[:B_sel], params_sel, ks1, kr1)
-    out_fast, tree_fast = run_tier(perm[B_sel:], params_fast, ks2, kr2)
+    out_sel, tree_sel, bias_sel = run_tier(perm[:B_sel], params_sel, ks1, kr1)
+    out_fast, tree_fast, bias_fast = run_tier(perm[B_sel:], params_fast,
+                                              ks2, kr2)
 
     # Scatter sub-batch results back to original board order.
     unperm = lambda a, b_: jnp.take(jnp.concatenate([a, b_], axis=0), inv,
@@ -432,6 +440,8 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
         jax.tree_util.tree_map(unperm, out_sel, out_fast)
     next_tree = (jax.tree_util.tree_map(unperm, tree_sel, tree_fast)
                  if reuse_tree is not None else None)
+    next_bias = (jax.tree_util.tree_map(unperm, bias_sel, bias_fast)
+                 if bias_sel is not None else None)
 
     is_sel = inv < B_sel
     keep_prob, sel_modifier, sel_mult, down_bad_count = _selection_state(
@@ -448,6 +458,10 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
                                       trainable, keep_prob, sel_modifier, cfg)
     aux = SelfplayAux(raw_until=aux.raw_until, down_bad_count=down_bad_count,
                       force_sel=jnp.zeros_like(aux.force_sel))
+    if next_bias is not None:
+        if next_tree is not None:
+            return states, buf, aux, next_tree, next_bias, key
+        return states, buf, aux, next_bias, key
     if next_tree is not None:
         return states, buf, aux, next_tree, key
     return states, buf, aux, key
@@ -469,7 +483,8 @@ def reset_finished(states: GoState, buf: GameBuffer, aux: SelfplayAux,
                    max_raw_policy_moves: int = 30,
                    reuse_tree=None,
                    no_raw: Optional[jnp.ndarray] = None,
-                   force_sel: Optional[jnp.ndarray] = None):
+                   force_sel: Optional[jnp.ndarray] = None,
+                   bias_table=None):
     """Replace finished boards with fresh games (or GoExploit reuse starts)
     and clear their records.
 
@@ -518,6 +533,17 @@ def reset_finished(states: GoState, buf: GameBuffer, aux: SelfplayAux,
         down_bad_count=jnp.where(done, 0, aux.down_bad_count),
         force_sel=new_force,
     )
+    if bias_table is not None:
+        # The bias cache is per-game knowledge: clear finished boards'
+        # rows (the reference's per-move PruneUnused fades entries the
+        # same way once their game's nodes are reaped).
+        from p3achygo_tpu.mcts.bias import make_bias_table
+
+        empty_b = make_bias_table(B, bias_table.key0.shape[1])
+        bias_table = jax.tree_util.tree_map(
+            lambda e, t: jnp.where(
+                jnp.reshape(done, (B,) + (1,) * (t.ndim - 1)), e, t),
+            empty_b, bias_table)
     if reuse_tree is not None:
         from p3achygo_tpu.mcts.tree import make_tree
 
@@ -526,5 +552,9 @@ def reset_finished(states: GoState, buf: GameBuffer, aux: SelfplayAux,
             lambda e, t: jnp.where(
                 jnp.reshape(done, (B,) + (1,) * (t.ndim - 1)), e, t),
             empty, reuse_tree)
+        if bias_table is not None:
+            return states, buf, aux, reuse_tree, bias_table
         return states, buf, aux, reuse_tree
+    if bias_table is not None:
+        return states, buf, aux, bias_table
     return states, buf, aux
