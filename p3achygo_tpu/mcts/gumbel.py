@@ -487,6 +487,59 @@ def _grouped_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
     return out
 
 
+def _sweep_action_table(tree: Tree, c_visit: float, c_scale: float,
+                        g: int) -> jnp.ndarray:
+    """[B, N, g] best action per node per within-sweep arrival rank.
+
+    The tree is FROZEN during a sweep's descents (child writes apply after
+    the loop), so the action the improved-policy disparity rule picks at
+    any node (gumbel.cc:214-237, = _nonroot_action/_grouped_action) depends
+    only on that node's stats and the lane's arrival rank t. Computing the
+    whole table once per sweep is pure elementwise work over the node
+    arrays — edge stats are already edge-indexed, so NO row gathers — and
+    it turns the descent while_loop into single-point index reads instead
+    of four full [B, N, 362] one-hot contractions per level (the dominant
+    search cost at depth > 1).
+    """
+    nvis = tree.edge_n  # [B, N, A]
+    en = nvis.astype(jnp.float32)
+    q = jnp.where(nvis > 0, -(tree.edge_w / jnp.maximum(en, 1.0)), MIN_Q)
+    logp = tree.log_priors.astype(jnp.float32)
+    sum_children = jnp.maximum(tree.n - 1, 0).astype(jnp.float32)  # [B, N]
+    maxn = jnp.max(nvis, axis=-1)  # [B, N]
+    probs = jnp.exp(logp)
+    visited = nvis > 0
+    visited_prob = jnp.sum(jnp.where(visited, probs, 0.0), axis=-1)
+    weighted_q = jnp.sum(jnp.where(visited, probs * q, 0.0), axis=-1)
+    init_util = tree.init_util
+    v_mix = jnp.where(
+        sum_children > 0,
+        (weighted_q * sum_children / jnp.maximum(visited_prob, 1e-10)
+         + init_util) / (1.0 + sum_children),
+        init_util,
+    )
+    q_scale = jnp.where(
+        maxn > 0,
+        2.0 * jnp.log(jnp.maximum(maxn, 1).astype(jnp.float32)), 0.0)
+    completed = jnp.where(visited, (q + 1.5) / 3.0,
+                          ((v_mix + 1.5) / 3.0)[:, :, None])
+    logits_improved = logp \
+        + ((c_visit + q_scale[:, :, None]) * c_scale) * completed
+    pi = jax.nn.softmax(logits_improved, axis=-1)
+    legal = tree.s_legal
+    extra = jnp.zeros_like(pi)
+    outs = []
+    for t in range(g):
+        disparity = pi - (en + extra) \
+            / (1.0 + sum_children + float(t))[:, :, None]
+        a_t = jnp.argmax(jnp.where(legal, disparity, _BIG_NEG),
+                         axis=-1).astype(jnp.int32)
+        outs.append(a_t)
+        if t < g - 1:
+            extra = extra + jax.nn.one_hot(a_t, NUM_MOVES, dtype=pi.dtype)
+    return jnp.stack(outs, axis=-1)  # [B, N, g]
+
+
 class RootPreStats(NamedTuple):
     """Pre-search root statistics from a reused tree, feeding sel_mult and
     the .stats pipeline (self_play_thread.cc:459-482)."""
@@ -746,37 +799,41 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
 
         # --- descent (Search, gumbel.cc:674-727), k-wide, stateless ---
         # NO board stepping inside the loop: every node stores its
-        # position + legality at creation (Tree s_* fields), so a level is
-        # pure tree reads (the reference carries an incremental Game copy
-        # per path; replaying moves per level was the dominant search cost
-        # here). The single board step per sweep happens after the loop at
-        # the leaf.
+        # position + legality at creation (Tree s_* fields). And NO tree
+        # row reads either: the tree is frozen for the whole sweep, so the
+        # disparity-rule action of every node per arrival rank is
+        # precomputed ONCE (act_table below) and a level is just
+        # single-point index reads. The single board step per sweep
+        # happens after the loop at the leaf.
         D = params.max_depth
         path_nodes0 = jnp.full((W, D), -1, jnp.int32)
         lane = jnp.arange(W)
         NEW_MARK = jnp.int32(-2)  # placeholder for this sweep's new node
+        act_table = _sweep_action_table(tree, params.c_visit, params.c_scale,
+                                        group)  # [B, N, group]
 
         def body(carry):
             (cur, depth, done, path_nodes, path_actions,
              alloc_parent, alloc_action) = carry
             active = ~done
             node = cur  # parent for this edge; at depth 0, node == root(0)
-            legal = rows_by_node(
-                tree.s_legal, node.reshape(B, -1)).reshape(W, -1) > 0.5
+            node_c = jnp.clip(node, 0, max_nodes - 1)
             if group == 1:
-                a_policy = _nonroot_action(tree, node, legal, params.c_visit,
-                                           params.c_scale, bw)
+                a_policy = act_table[bw, node_c, 0]
             else:
                 # Arrival rank among this board's ACTIVE lanes at the same
                 # node (below the root, same node implies same candidate —
-                # disjoint subtrees).
+                # disjoint subtrees; under MCGS a transposed node CAN be
+                # shared across candidates, where ranks >= group keep the
+                # pre-table behavior of action 0).
                 nodeb = node.reshape(B, L)
                 actb = active.reshape(B, L)
                 eq = (nodeb[:, :, None] == nodeb[:, None, :]) \
                     & actb[:, :, None] & actb[:, None, :]
                 rank = jnp.sum(eq & lane_lt, axis=2).reshape(-1)
-                a_policy = _grouped_action(tree, node, legal, params.c_visit,
-                                           params.c_scale, rank, group, bw)
+                a_pick = act_table[bw, node_c,
+                                   jnp.clip(rank, 0, group - 1)]
+                a_policy = jnp.where(rank < group, a_pick, 0)
             a = jnp.where(depth == 0, action0, a_policy)
 
             child = tree.children[bw, node, a]

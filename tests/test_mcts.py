@@ -324,3 +324,50 @@ class TestScoreUtilityModes:
         r2 = search_root_puct(jax.random.PRNGKey(1), states,
                               uniform_eval_fn, pp)
         assert 0 <= int(r2.mcts_move[0]) <= 361
+
+
+class TestSweepActionTable:
+    """The per-sweep precomputed action table must match the per-lane
+    disparity-rule helpers exactly (it replaces them in the descent)."""
+
+    def _tree_after_search(self):
+        from p3achygo_tpu.game.board import new_state
+        from p3achygo_tpu.mcts.gumbel import (SearchParams, search_root,
+                                              uniform_eval_fn)
+        from p3achygo_tpu.mcts.tree import make_tree
+
+        def fn(states):
+            out = uniform_eval_fn(states)
+            B = states.stones.shape[0]
+            lg = jnp.zeros((B, NUM_MOVES)).at[:, 60].set(2.0) \
+                .at[:, 61].set(1.8).at[:, 100].set(1.5)
+            return out._replace(log_priors=jax.nn.log_softmax(lg, -1))
+
+        states = jax.vmap(new_state)(jnp.asarray([7.5, 6.5]))
+        init = make_tree(2, 20)
+        p = SearchParams(n=16, k=4, noise_scale=0.5, max_depth=8)
+        _, work = search_root(jax.random.PRNGKey(11), states, fn, p,
+                              init_tree=init, reuse_capacity=20)
+        return work
+
+    def test_matches_grouped_and_single_helpers(self):
+        from p3achygo_tpu.mcts.gumbel import (_grouped_action,
+                                              _nonroot_action,
+                                              _sweep_action_table)
+
+        tree = self._tree_after_search()
+        B, N = tree.n.shape
+        g = 3
+        table = np.asarray(_sweep_action_table(tree, 50.0, 1.0, g))
+        for b in range(B):
+            node = jnp.arange(N)
+            bidx = jnp.full((N,), b)
+            legal = tree.s_legal[b]
+            a1 = np.asarray(_nonroot_action(tree, node, legal, 50.0, 1.0,
+                                            bidx))
+            np.testing.assert_array_equal(table[b, :, 0], a1)
+            for t in range(g):
+                at = np.asarray(_grouped_action(
+                    tree, node, legal, 50.0, 1.0,
+                    jnp.full((N,), t), g, bidx))
+                np.testing.assert_array_equal(table[b, :, t], at)
