@@ -91,6 +91,7 @@ class GtpService:
         "list_commands", "quit", "boardsize", "clear_board", "komi", "play",
         "genmove", "showboard", "final_score", "undo", "loadsgf",
         "p3achygo-ownership", "time_settings", "time_left", "lz-analyze",
+        "p3achygo-serialize_sgf_with_trees",
     ]
 
     def __init__(self, eval_fn: EvalFn, config: Optional[GtpConfig] = None):
@@ -98,6 +99,7 @@ class GtpService:
         self.config = config or GtpConfig()
         self.komi = 7.5
         self._history: List[GoState] = []
+        self._moves: List[Tuple[int, int]] = []  # (color, action) played
         self.state = self._fresh()
         self.key = jax.random.PRNGKey(0)
         self.time_control = TimeControl()
@@ -225,6 +227,7 @@ class GtpService:
 
     def cmd_clear_board(self):
         self._history = []
+        self._moves = []
         self.state = self._fresh()
         self._reset_tree()
         return ""
@@ -246,6 +249,7 @@ class GtpService:
         if status != 0:
             raise ValueError("illegal move")
         self._history.append(self.state)
+        self._moves.append((c, action))
         self.state, _ = step(st, jnp.int32(action))
         self._advance_tree(action)
         return ""
@@ -254,6 +258,8 @@ class GtpService:
         if not self._history:
             raise ValueError("cannot undo")
         self.state = self._history.pop()
+        if self._moves:
+            self._moves.pop()
         self._reset_tree()
         return ""
 
@@ -277,6 +283,7 @@ class GtpService:
             (_time.time() - t0) * 1000.0, int(res.visits[0]))
         self._last_root_v = float(res.root_value[0])
         self._history.append(self.state)
+        self._moves.append((c, action))
         self.state, _ = step(st, jnp.int32(action))
         self._advance_tree(action, work)
         return action_to_gtp_vertex(action)
@@ -363,8 +370,26 @@ class GtpService:
             if int(st.to_move) != color:
                 st = st._replace(to_move=jnp.int8(color))
             self._history.append(self.state)
+            self._moves.append((color, action))
             self.state, _ = step(st, jnp.int32(action))
         return ""
+
+    def cmd_p3achygo_serialize_sgf_with_trees(self, path=""):
+        """Write the game + the CURRENT carried search tree as SGF
+        variations with per-node stat comments
+        (GtpSerializeSgfWithTrees, service.cc:496-505; PopulateTree,
+        sgf_recorder.cc:117-148). Ponder/analyze first to grow the tree."""
+        from p3achygo_tpu.sgf import serialize_game_with_tree
+
+        if not path:
+            raise ValueError("filename required")
+        text = serialize_game_with_tree(self._moves, self._tree,
+                                        komi=self.komi,
+                                        pb=self.config.name,
+                                        pw=self.config.name)
+        with open(path, "w") as f:
+            f.write(text)
+        return path
 
 
 def run_stdin_loop(service: GtpService, infile=None, outfile=None):

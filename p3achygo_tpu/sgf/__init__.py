@@ -8,5 +8,6 @@ from p3achygo_tpu.sgf.sgf import (  # noqa: F401
     parse_sgf,
     result_string,
     serialize_game,
+    serialize_game_with_tree,
     sgf_to_loc,
 )

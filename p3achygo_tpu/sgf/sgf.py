@@ -180,6 +180,71 @@ def serialize_game(moves: List[Tuple[int, int]], komi: float = 7.5,
     return "".join(parts)
 
 
+def serialize_game_with_tree(moves: List[Tuple[int, int]], tree,
+                             komi: float = 7.5, result: str = "",
+                             pb: str = "p3achygo_tpu",
+                             pw: str = "p3achygo_tpu",
+                             board_len: int = BOARD_LEN) -> str:
+    """SGF with the final position's search tree as variations
+    (RecordSingleSgfWithTrees, sgf_recorder.cc:232-257; PopulateTree
+    sgf_recorder.cc:117-148).
+
+    `tree` is a search Tree (batch of 1): visited children (edge n > 0)
+    become variations sorted by ascending visit count like the reference,
+    and every tree node carries a C[] comment with
+    color/N/Q/Q_z/nn_outcome_est/nn_score_est. Deviation: the reference's
+    selfplay per-move root logging is compiled out (#if 0, "broken for
+    MCGS"); only this GTP-exposed current-tree form exists, which is what
+    we mirror.
+    """
+    import numpy as np
+
+    n = np.asarray(tree.n[0])
+    w = np.asarray(tree.w[0])
+    wz = np.asarray(tree.w_outcome[0])
+    init_outcome = np.asarray(tree.init_outcome[0])
+    init_score = np.asarray(tree.init_score[0])
+    children = np.asarray(tree.children[0])
+    edge_n = np.asarray(tree.edge_n[0])
+    color = np.asarray(tree.color[0])
+
+    def comment(node: int) -> str:
+        nn = max(int(n[node]), 1)
+        c = "B" if int(color[node]) == BLACK else "W"
+        return (f"Root Color: {c}, N: {int(n[node])}, "
+                f"Q: {w[node] / nn:f}, Q_z: {wz[node] / nn:f}, "
+                f"nn_outcome_est: {init_outcome[node]:f}, "
+                f"nn_score_est: {init_score[node]:f}")
+
+    def emit(node: int, depth: int = 0) -> str:
+        """Variations under `node`: visited children ascending by visits."""
+        if depth > 48:  # kMaxCallDepth guard (sgf_recorder.cc:30)
+            return ""
+        kids = [(int(edge_n[node, a]), a, int(children[node, a]))
+                for a in np.nonzero((edge_n[node] > 0)
+                                    & (children[node] >= 0))[0]]
+        kids.sort()
+        tag = "B" if int(color[node]) == BLACK else "W"
+        out = []
+        for _, a, ch in kids:
+            body = (f";{tag}[{loc_to_sgf(int(a))}]"
+                    f"C[{_escape(comment(ch))}]" + emit(ch, depth + 1))
+            out.append(body if len(kids) == 1 else f"({body})")
+        return "".join(out)
+
+    parts = [f"(;GM[1]FF[4]SZ[{board_len}]KM[{komi}]"
+             f"PB[{_escape(pb)}]PW[{_escape(pw)}]"]
+    if result:
+        parts.append(f"RE[{_escape(result)}]")
+    for mcolor, action in moves:
+        tag = "B" if mcolor == BLACK else "W"
+        parts.append(f";{tag}[{loc_to_sgf(action)}]")
+    parts.append(f";C[{_escape(comment(0))}]")
+    parts.append(emit(0))
+    parts.append(")")
+    return "".join(parts)
+
+
 def result_string(black_score: float, white_score: float,
                   by_resign: bool = False, winner: int = 0) -> str:
     if by_resign:
