@@ -203,6 +203,9 @@ class GenerationLoop:
         self.sgf_dir: Optional[str] = None
         self._sp_steps = None
         self._np_rng = np.random.default_rng(seed + 2)
+        # Optional tap on finalized games (actor mode exports them to the
+        # store bus instead of only feeding the local replay; workers.py).
+        self.game_sink = None
 
     # ---------------- selfplay ----------------
     def _bind_selfplay(self):
@@ -325,6 +328,8 @@ class GenerationLoop:
                     self.val_replay.add_game(ex)
                 else:
                     self.replay.add_game(ex)
+                if self.game_sink is not None:
+                    self.game_sink(ex)
             # Per-move diagnostics for the .stats pipeline
             # (tf_recorder.cc RecordGame move_stats accumulation).
             self._move_stats.append(MoveStatsBatch(
@@ -595,7 +600,14 @@ class GenerationLoop:
         self.selfplay_games(games)
         self._flush_stats()
         sp_t = time.time() - t0
+        out = self.train_and_gate(eval_gating)
+        return dict(games=games, selfplay_s=sp_t, **out)
 
+    def train_and_gate(self, eval_gating: bool = True) -> dict:
+        """Train on the replay, gate the candidate, checkpoint, advance the
+        generation. The selfplay-free half of run_generation — the learner
+        worker (rl/workers.py) calls this after ingesting chunks from the
+        store bus (train_sp_eval.py loop body minus sp_loop)."""
         t0 = time.time()
         # Per-generation LR (get_lr, rl_loop/train.py:33-49), injected into
         # the opt_state hyperparams — no recompile, momentum preserved.
@@ -639,8 +651,8 @@ class GenerationLoop:
         with open(os.path.join(self.root, "elo_history.txt"), "a") as f:
             f.write(f"{self.gen} {elo:.2f} {int(promoted)}\n")
         self.save_resume()
-        return dict(gen=self.gen, games=games, elo=elo, promoted=promoted,
-                    selfplay_s=sp_t, train_s=train_t, **losses)
+        return dict(gen=self.gen, elo=elo, promoted=promoted,
+                    train_s=train_t, **losses)
 
     # ---------------- resume (elastic recovery) ----------------
     # The reference rediscovers run state from GCS on restart
