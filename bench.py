@@ -8,6 +8,13 @@ step and record writes — measured at STEADY STATE: 100 plies are played
 before timing so trees, reuse carries and game phases reflect mid-game
 self-play rather than the tiny-tree opening.
 
+Finished boards are recycled with fresh games at the production harvest
+cadence (rl/loop.py harvests + reset_finished every 16 plies): without
+recycling, the active-board count decays through the measurement window
+while the lockstep step cost stays full-width, so moves/s would measure
+the game-length distribution of the random-init net instead of sustained
+throughput. Reset cost is inside the timed region.
+
 Reference anchor: ~70 min/generation at 5,000 games/gen on 1x A100 + 30
 vCPU => ~250-400 self-play moves/s system-wide (BASELINE.md,
 journal.md:188), with the same 25/75 tier mix. vs_baseline uses the 325
@@ -32,7 +39,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 BASELINE_MOVES_PER_SEC = 325.0
 WARMUP_PLIES = int(os.environ.get("BENCH_WARMUP_PLIES", "100"))
-TIMED_PLIES = int(os.environ.get("BENCH_TIMED_PLIES", "16"))
+TIMED_PLIES = int(os.environ.get("BENCH_TIMED_PLIES", "32"))
+RESET_EVERY = 16  # production harvest cadence (rl/loop.py:297)
 
 
 def main():
@@ -45,6 +53,7 @@ def main():
         finished_mask,
         make_aux,
         make_game_buffer,
+        reset_finished,
         selfplay_step_tiered,
     )
 
@@ -69,6 +78,17 @@ def main():
             states, buf, aux, key, eval_fn, params_sel, params_fast, cfg,
             reuse_tree=tree, reuse_capacity=reuse_capacity)
 
+    @jax.jit
+    def recycle(states, buf, aux, tree, key):
+        # Fresh games only, raw-policy opening kept off (pure full-search
+        # workload); records are dropped (the production loop harvests
+        # them host-side at the same cadence).
+        done = finished_mask(states, cfg)
+        states, buf, aux, tree = reset_finished(
+            states, buf, aux, done, cfg.komi, key,
+            max_raw_policy_moves=0, reuse_tree=tree)
+        return states, buf, aux, tree
+
     states = jax.vmap(lambda _: new_state(cfg.komi))(jnp.arange(B))
     buf = make_game_buffer(B, cfg.max_game_len)
     key = jax.random.PRNGKey(1)
@@ -78,16 +98,23 @@ def main():
     aux = aux._replace(raw_until=aux.raw_until * 0)
     tree = make_tree(B, reuse_capacity)
 
-    # Warmup/compile + play into the mid-game.
-    for _ in range(WARMUP_PLIES):
+    # Warmup/compile + play into the mid-game, recycling finished games at
+    # the production cadence.
+    for i in range(WARMUP_PLIES):
         states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
+        if (i + 1) % RESET_EVERY == 0:
+            key, kr = jax.random.split(key)
+            states, buf, aux, tree = recycle(states, buf, aux, tree, kr)
     jax.block_until_ready(states.stones)
 
     active_counts = []
     t0 = time.time()
-    for _ in range(TIMED_PLIES):
+    for i in range(TIMED_PLIES):
         active_counts.append(jnp.sum(~finished_mask(states, cfg)))
         states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
+        if (i + 1) % RESET_EVERY == 0:
+            key, kr = jax.random.split(key)
+            states, buf, aux, tree = recycle(states, buf, aux, tree, kr)
     jax.block_until_ready(states.stones)
     dt = time.time() - t0
 

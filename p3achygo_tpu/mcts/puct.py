@@ -120,8 +120,16 @@ def _puct_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
 
 
 def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
-                     p: PuctParams) -> GumbelResult:
-    """PUCT root search on a batch of boards -> GumbelResult."""
+                     p: PuctParams, return_tree: bool = False):
+    """PUCT root search on a batch of boards -> GumbelResult.
+
+    `return_tree=True` additionally stores each new node's board state in
+    the tree (Tree s_* fields, normally skipped here because the PUCT
+    descent replays moves on scratch boards) and returns
+    ``(result, tree)`` so the accumulated tree can seed a Gumbel search
+    (tree.compact_root -> gumbel.search_root(init_tree=...)), mirroring
+    the PUCT-seeded trees of the reference's visit study
+    (experiments/gumbel_visits_study.cc RunSeededGumbel)."""
     from p3achygo_tpu.game.scoring import score as score_board
 
     B = states.stones.shape[0]
@@ -141,6 +149,19 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
     )
     root_score_est = root_ev.score_est
     legal0 = jax.vmap(legal_mask)(states)
+    if return_tree:
+        tree = tree._replace(
+            s_stones=tree.s_stones.at[:, 0].set(states.stones),
+            s_chain=tree.s_chain.at[:, 0].set(
+                states.chain_id.astype(jnp.int16)),
+            s_last5=tree.s_last5.at[:, 0].set(
+                states.last_moves.astype(jnp.int16)),
+            s_ko=tree.s_ko.at[:, 0].set(states.ko_point.astype(jnp.int16)),
+            s_cpass=tree.s_cpass.at[:, 0].set(
+                states.consecutive_passes.astype(jnp.int8)),
+            s_hash=tree.s_hash.at[:, 0].set(states.hash),
+            s_legal=tree.s_legal.at[:, 0].set(legal0),
+        )
     board_over = jax.vmap(is_game_over)(states)
     raw_nn_move = jnp.argmax(root_ev.log_priors, axis=-1).astype(jnp.int32)
 
@@ -221,6 +242,38 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
                           tree.parent_action[b, ln_routed])),
             next_free=tree.next_free + allocated.astype(jnp.int32),
         )
+        if return_tree:
+            # Store the new node's board state so the returned tree can seed
+            # a Gumbel search (gumbel descents read stored node states
+            # instead of replaying moves — see Tree s_* fields).
+            leaf_legal = jax.vmap(legal_mask)(leaf_states)
+            al = allocated
+            tree = tree._replace(
+                s_stones=tree.s_stones.at[b, ln_routed].set(
+                    jnp.where(al[:, None], leaf_states.stones,
+                              tree.s_stones[b, ln_routed])),
+                s_chain=tree.s_chain.at[b, ln_routed].set(
+                    jnp.where(al[:, None],
+                              leaf_states.chain_id.astype(jnp.int16),
+                              tree.s_chain[b, ln_routed])),
+                s_last5=tree.s_last5.at[b, ln_routed].set(
+                    jnp.where(al[:, None],
+                              leaf_states.last_moves.astype(jnp.int16),
+                              tree.s_last5[b, ln_routed])),
+                s_ko=tree.s_ko.at[b, ln_routed].set(
+                    jnp.where(al, leaf_states.ko_point.astype(jnp.int16),
+                              tree.s_ko[b, ln_routed])),
+                s_cpass=tree.s_cpass.at[b, ln_routed].set(
+                    jnp.where(al,
+                              leaf_states.consecutive_passes.astype(jnp.int8),
+                              tree.s_cpass[b, ln_routed])),
+                s_hash=tree.s_hash.at[b, ln_routed].set(
+                    jnp.where(al[:, None], leaf_states.hash,
+                              tree.s_hash[b, ln_routed])),
+                s_legal=tree.s_legal.at[b, ln_routed].set(
+                    jnp.where(al[:, None], leaf_legal,
+                              tree.s_legal[b, ln_routed])),
+            )
 
         leaf_color = leaf_states.to_move
         root_sign = jnp.where(leaf_color == root_color, 1.0, -1.0)
@@ -402,7 +455,7 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
                   pi_improved * (jnp.log(pi_improved + eps)
                                  - jnp.log(probs0 + eps)), 0.0), axis=-1)
 
-    return GumbelResult(
+    result = GumbelResult(
         mcts_move=mcts_move,
         raw_nn_move=raw_nn_move,
         pi_improved=pi_improved,
@@ -418,3 +471,6 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
         root_value_dist=tree.v_categorical[:, 0, :],
         root_child_q=q0,
     )
+    if return_tree:
+        return result, tree
+    return result

@@ -76,3 +76,39 @@ def test_var_scaling_path_compiles():
     p = PuctParams(n=8, max_depth=6, enable_var_scaling=True)
     res = search_root_puct(jax.random.PRNGKey(0), states, uniform_eval_fn, p)
     assert int(res.visits[0]) == 8
+
+
+def test_puct_return_tree_seeds_gumbel():
+    """PUCT tree (return_tree=True) seeds a Gumbel search via compact_subtree.
+
+    Mirrors the reference visit study's PUCT-seeded trees
+    (experiments/gumbel_visits_study.cc): the PUCT search's subtree under
+    the played move carries into gumbel.search_root(init_tree=...)."""
+    from p3achygo_tpu.mcts.gumbel import SearchParams, search_root
+    from p3achygo_tpu.mcts.tree import compact_subtree
+
+    states = batch_states(2)
+    p = PuctParams(n=24, max_depth=8)
+    res, ptree = search_root_puct(
+        jax.random.PRNGKey(0), states, value_eval_fn, p, return_tree=True)
+    # Stored root state matches the searched boards.
+    np.testing.assert_array_equal(
+        np.asarray(ptree.s_stones[:, 0]), np.asarray(states.stones))
+    assert bool(ptree.evaluated[:, 0].all())
+    # Visited children got stored states too: pick the played move's child.
+    mv = res.mcts_move
+    cap = 16
+    seed = compact_subtree(ptree, mv, cap)
+    # The played move had visits, so the reused root must be evaluated.
+    assert bool(seed.evaluated[:, 0].all())
+    carried = np.asarray(seed.n[:, 0]).copy()
+    assert (carried > 0).all()
+    states2, statuses = jax.vmap(step)(states, mv)
+    assert (np.asarray(statuses) == 0).all()
+    np.testing.assert_array_equal(
+        np.asarray(seed.s_stones[:, 0]), np.asarray(states2.stones))
+    gp = SearchParams(n=16, k=4, max_depth=8)
+    res2, _ = search_root(jax.random.PRNGKey(1), states2, value_eval_fn, gp,
+                          init_tree=seed, reuse_capacity=cap)
+    # Root visits accumulated on top of the carried PUCT statistics.
+    assert (np.asarray(res2.visits) >= 16).all()
