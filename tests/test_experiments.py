@@ -1,0 +1,140 @@
+"""Experiments layer tests (cc/experiments/, SURVEY §2.9)."""
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from p3achygo_tpu.constants import BLACK, WHITE
+from p3achygo_tpu.experiments.play_games import (BiasCallback, PrintCallback,
+                                                 play_games)
+from p3achygo_tpu.experiments.visits_study import (
+    compute_kld, format_report, run_visits_study, states_from_examples)
+from p3achygo_tpu.mcts.gumbel import uniform_eval_fn
+
+
+def _value_eval_fn(states):
+    """Deterministic synthetic eval: prefers low indices, mild value."""
+    out = uniform_eval_fn(states)
+    bias = -0.01 * jnp.arange(362, dtype=jnp.float32)
+    return out._replace(log_priors=out.log_priors + bias[None, :])
+
+
+def _fake_examples(n):
+    """Minimal decoded-example dicts (data/example.py schema subset)."""
+    rng = np.random.default_rng(0)
+    out = []
+    for i in range(n):
+        stones = np.zeros((361,), np.int8)
+        # A few alternating legal stones away from each other.
+        pts = rng.choice(361, size=6, replace=False)
+        stones[pts[:3]] = BLACK
+        stones[pts[3:]] = WHITE
+        out.append({
+            "board": stones.tobytes(),
+            "last_moves": np.full((5,), -1, np.int16).tobytes(),
+            "color": np.int8(BLACK if i % 2 == 0 else WHITE).tobytes(),
+            "komi": [7.5],
+        })
+    return out
+
+
+def test_states_from_examples_roundtrip():
+    exs = _fake_examples(3)
+    states = states_from_examples(exs)
+    assert states.stones.shape == (3, 361)
+    np.testing.assert_array_equal(
+        np.asarray(states.stones[0]), np.frombuffer(exs[0]["board"], np.int8))
+    assert int(states.to_move[0]) == BLACK
+    assert int(states.to_move[1]) == WHITE
+    assert float(states.komi[0]) == 7.5
+    # Hash/chains recomputed: a second build from the same stones matches.
+    states2 = states_from_examples(exs)
+    np.testing.assert_array_equal(np.asarray(states.hash),
+                                  np.asarray(states2.hash))
+
+
+def test_compute_kld_matches_reference_semantics():
+    # gumbel.cc:183-193: zero-target entries are skipped.
+    t = np.array([[0.5, 0.5, 0.0]])
+    p = np.array([[0.25, 0.25, 0.5]])
+    expected = 0.5 * np.log(0.5 / 0.25) * 2
+    np.testing.assert_allclose(compute_kld(t, p), [expected], rtol=1e-6)
+    # KLD(p, p) == 0.
+    np.testing.assert_allclose(compute_kld(p, p), [0.0], atol=1e-6)
+
+
+def test_visits_study_gumbel_mode():
+    states = states_from_examples(_fake_examples(4))
+    report = run_visits_study(
+        _value_eval_fn, states, n_values=(8, 16), gt_n=32, k=4,
+        seed_visits=6, use_gumbel=True, bias_lambda=0.0, max_depth=8)
+    assert report["examples"] == 4
+    assert [row["n"] for row in report["per_n"]] == [8, 16]
+    for row in report["per_n"]:
+        assert np.isfinite(row["kld_gt"]["mean"])
+        assert row["kld_gt"]["max"] >= row["kld_gt"]["p95"] >= \
+            row["kld_gt"]["p75"] >= 0.0 or row["kld_gt"]["max"] >= 0.0
+    # More visits should track the ground truth at least as well on
+    # average (allow slack for tiny-budget noise).
+    assert report["per_n"][1]["kld_gt"]["mean"] <= \
+        report["per_n"][0]["kld_gt"]["mean"] + 0.5
+    text = format_report(report)
+    assert "Visit Count Study" in text and "nats/visit" in text
+
+
+def test_visits_study_puct_mode():
+    states = states_from_examples(_fake_examples(2))
+    report = run_visits_study(
+        _value_eval_fn, states, n_values=(8,), gt_n=24, k=4,
+        seed_visits=0, use_gumbel=False, bias_lambda=0.0, max_depth=8)
+    assert report["mode"] == "puct"
+    row = report["per_n"][0]
+    assert np.isfinite(row["kld_gt"]["mean"])
+    # Empirical visit dists are normalized.
+    assert np.isfinite(report["prior"]["mean"])
+
+
+def test_visits_study_same_topk_across_n():
+    """The same PRNG key must give every N-search the same Gumbel noise
+    (the fixed pos_seed of gumbel_visits_study.cc:427-429)."""
+    from p3achygo_tpu.mcts.gumbel import SearchParams, search_root
+    states = states_from_examples(_fake_examples(2))
+    key = jax.random.PRNGKey(7)
+    r1 = search_root(key, states, _value_eval_fn,
+                     SearchParams(n=8, k=4, max_depth=8))
+    r2 = search_root(key, states, _value_eval_fn,
+                     SearchParams(n=16, k=4, max_depth=8))
+    # Visited root actions of the smaller search are a subset of the
+    # larger one's candidate set (same top-k seed actions).
+    v1 = np.asarray(r1.root_child_visits) > 0
+    v2 = np.asarray(r2.root_child_visits) > 0
+    assert (v1 & ~v2).sum() == 0
+
+
+def test_play_games_callbacks():
+    out = io.StringIO()
+    bias_cb = BiasCallback(out=out, per_game=3, per_episode=5)
+    print_out = io.StringIO()
+    print_cb = PrintCallback(out=print_out)
+    results = play_games(uniform_eval_fn, num_games=2, visit_count=8,
+                         seq_halving=True, callbacks=[print_cb, bias_cb],
+                         k=4, max_depth=6, max_moves=20, seed=1)
+    assert len(results) == 2
+    for r in results:
+        assert r.winner in (BLACK, WHITE)
+        assert r.num_moves > 0
+        assert str(r).startswith(("B+", "W+"))
+    text = out.getvalue()
+    assert "Dumping Most Biased Positions for Game" in text
+    assert "Dumping Most Biased Positions for Episode" in text
+    assert "Bias:" in text
+    assert "Move Num:" in print_out.getvalue()
+
+
+def test_play_games_puct_mode():
+    results = play_games(uniform_eval_fn, num_games=1, visit_count=8,
+                         seq_halving=False, callbacks=[], max_depth=6,
+                         max_moves=10, seed=2)
+    assert len(results) == 1 and results[0].num_moves > 0
