@@ -70,6 +70,7 @@ from p3achygo_tpu.mcts.tree import (
     mcgs_insert,
     mcgs_meta,
     mcgs_probe,
+    welford_m3_delta,
     q_nvis_of_children,
     q_of_children,
     rows_by_node,
@@ -174,7 +175,8 @@ class GumbelResult(NamedTuple):
 
 
 def make_eval_fn(model, variables, symmetrize: bool = True,
-                 include_ladders: bool = False) -> EvalFn:
+                 include_ladders: bool = False,
+                 p_opt_weight: float = 0.0) -> EvalFn:
     """NN eval adapter: featurize states, run the model, reduce outputs.
 
     With `symmetrize`, each query is evaluated under a D4 symmetry picked
@@ -182,6 +184,12 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
     (the reference applies a random symmetry per NN query and un-applies it
     on the outputs, nn_interface.cc:123-127 / nn_interface.h:262-289;
     hash-derived choice keeps eval purely functional in-graph).
+
+    `p_opt_weight` blends the optimistic-policy head into the priors:
+    probs = (1-w)*softmax(pi) + w*softmax(pi_opt) (search_policy.h:171-185
+    interpolates per node; the tree stores one prior set, so the blend
+    happens here once per eval — same search behavior since priors are
+    write-once at node creation).
     """
     score_values = (jnp.arange(NUM_SCORE_LOGITS, dtype=jnp.float32)
                     - SCORE_INFLECTION_POINT + 0.5)
@@ -206,6 +214,13 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
             planes = acc.reshape(n, H, W_, C)
         out = model.apply(variables, planes, scalars, train=False)
         pi_logits = out.pi_logits
+        if p_opt_weight > 0.0:
+            # Blend in probability space (the reference blends probs, not
+            # logits) and go back to log space for the tree.
+            w = float(p_opt_weight)
+            blend = ((1.0 - w) * jax.nn.softmax(pi_logits, axis=-1)
+                     + w * jax.nn.softmax(out.pi_logits_optimistic, axis=-1))
+            pi_logits = jnp.log(jnp.maximum(blend, 1e-30))
         if symmetrize:
             board_part = pi_logits[:, :SYM_SCATTER.shape[1]]
             acc_p = jnp.zeros_like(board_part)
@@ -488,7 +503,7 @@ def _grouped_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
 
 
 def _sweep_action_table(tree: Tree, c_visit: float, c_scale: float,
-                        g: int) -> jnp.ndarray:
+                        g: int, with_transitions: bool = False):
     """[B, N, g] best action per node per within-sweep arrival rank.
 
     The tree is FROZEN during a sweep's descents (child writes apply after
@@ -500,6 +515,13 @@ def _sweep_action_table(tree: Tree, c_visit: float, c_scale: float,
     it turns the descent while_loop into single-point index reads instead
     of four full [B, N, 362] one-hot contractions per level (the dominant
     search cost at depth > 1).
+
+    With `with_transitions`, additionally returns the full per-(node,
+    arrival-rank) descent transition table [B, N, g, 4] with channels
+    (child index or -1, action, child-is-terminal, next arrival rank), so
+    the descent loop body is ONE one-hot table read per level instead of
+    four separate point gathers (tree mode only — under MCGS transposed
+    nodes can be shared across candidates and ranks are dynamic).
     """
     nvis = tree.edge_n  # [B, N, A]
     en = nvis.astype(jnp.float32)
@@ -529,15 +551,54 @@ def _sweep_action_table(tree: Tree, c_visit: float, c_scale: float,
     legal = tree.s_legal
     extra = jnp.zeros_like(pi)
     outs = []
+    child_ts = []
+    term_ts = []
+    N = tree.n.shape[1]
     for t in range(g):
         disparity = pi - (en + extra) \
             / (1.0 + sum_children + float(t))[:, :, None]
         a_t = jnp.argmax(jnp.where(legal, disparity, _BIG_NEG),
                          axis=-1).astype(jnp.int32)
         outs.append(a_t)
-        if t < g - 1:
-            extra = extra + jax.nn.one_hot(a_t, NUM_MOVES, dtype=pi.dtype)
-    return jnp.stack(outs, axis=-1)  # [B, N, g]
+        if t < g - 1 or with_transitions:
+            oh_t = jax.nn.one_hot(a_t, NUM_MOVES, dtype=pi.dtype)
+            if t < g - 1:
+                extra = extra + oh_t
+            if with_transitions:
+                # child at (node, t): one-hot row reduce over the action
+                # axis (value -1 selects exactly through the one-hot).
+                ch_t = jnp.einsum(
+                    "bna,bna->bn", oh_t,
+                    tree.children.astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                child_ts.append(ch_t)
+                oh_c = jax.nn.one_hot(jnp.clip(ch_t, 0, N - 1), N,
+                                      dtype=jnp.float32)
+                tm_t = jnp.einsum(
+                    "bnm,bm->bn", oh_c,
+                    tree.is_terminal.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+                term_ts.append((tm_t > 0.5) & (ch_t >= 0))
+    acts = jnp.stack(outs, axis=-1)  # [B, N, g]
+    if not with_transitions:
+        return acts
+    child = jnp.stack(child_ts, axis=-1)  # [B, N, g]
+    term = jnp.stack(term_ts, axis=-1)  # [B, N, g] bool
+    # next arrival rank: lanes taking the same action from the same node
+    # land on the same child; their new ranks enumerate in t order.
+    nr = jnp.zeros_like(acts)
+    for t in range(1, g):
+        same = jnp.stack([acts[:, :, tp] == acts[:, :, t]
+                          for tp in range(t)], axis=-1)
+        nr = nr.at[:, :, t].set(
+            jnp.sum(same, axis=-1).astype(jnp.int32))
+    table = jnp.stack([
+        child.astype(jnp.float32),
+        acts.astype(jnp.float32),
+        term.astype(jnp.float32),
+        nr.astype(jnp.float32),
+    ], axis=-1)  # [B, N, g, 4]
+    return acts, table
 
 
 class RootPreStats(NamedTuple):
@@ -809,62 +870,153 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         path_nodes0 = jnp.full((W, D), -1, jnp.int32)
         lane = jnp.arange(W)
         NEW_MARK = jnp.int32(-2)  # placeholder for this sweep's new node
-        act_table = _sweep_action_table(tree, params.c_visit, params.c_scale,
-                                        group)  # [B, N, group]
 
-        def body(carry):
-            (cur, depth, done, path_nodes, path_actions,
-             alloc_parent, alloc_action) = carry
-            active = ~done
-            node = cur  # parent for this edge; at depth 0, node == root(0)
-            node_c = jnp.clip(node, 0, max_nodes - 1)
-            if group == 1:
-                a_policy = act_table[bw, node_c, 0]
-            else:
-                # Arrival rank among this board's ACTIVE lanes at the same
-                # node (below the root, same node implies same candidate —
-                # disjoint subtrees; under MCGS a transposed node CAN be
-                # shared across candidates, where ranks >= group keep the
-                # pre-table behavior of action 0).
-                nodeb = node.reshape(B, L)
-                actb = active.reshape(B, L)
-                eq = (nodeb[:, :, None] == nodeb[:, None, :]) \
-                    & actb[:, :, None] & actb[:, None, :]
-                rank = jnp.sum(eq & lane_lt, axis=2).reshape(-1)
-                a_pick = act_table[bw, node_c,
-                                   jnp.clip(rank, 0, group - 1)]
-                a_policy = jnp.where(rank < group, a_pick, 0)
-            a = jnp.where(depth == 0, action0, a_policy)
+        if mcgs is None:
+            # Tree mode: gather-free descent. The whole per-(node,
+            # arrival-rank) transition (child, action, terminal, next
+            # rank) is precomputed once per sweep, level 0 (the candidate
+            # edge from the root) is resolved before the loop, and each
+            # loop level is ONE one-hot table read + a one-hot-depth path
+            # write — per-lane point gathers/scatters cost a full kernel
+            # launch each at lane width and dominated the sweep
+            # (benchmarks/micro_descent_ops.py).
+            act_table, trans = _sweep_action_table(
+                tree, params.c_visit, params.c_scale, group,
+                with_transitions=True)
+            trans_flat = trans.reshape(B, max_nodes, 4 * group)
 
-            child = tree.children[bw, node, a]
-            need_alloc = (child < 0) & active
-            child_idx = jnp.where(need_alloc, NEW_MARK, child).astype(jnp.int32)
-            alloc_parent = jnp.where(need_alloc, node, alloc_parent)
-            alloc_action = jnp.where(need_alloc, a, alloc_action)
+            # --- level 0: follow the candidate action out of the root ---
+            oh_a0 = jax.nn.one_hot(action0.reshape(B, L), NUM_MOVES,
+                                   dtype=jnp.float32)
+            child0 = jnp.einsum(
+                "bla,ba->bl", oh_a0,
+                tree.children[:, 0, :].astype(jnp.float32),
+                preferred_element_type=jnp.float32
+            ).reshape(-1).astype(jnp.int32)
+            oh_c0 = jax.nn.one_hot(
+                jnp.clip(child0, 0, max_nodes - 1).reshape(B, L),
+                max_nodes, dtype=jnp.float32)
+            term0 = (jnp.einsum(
+                "bln,bn->bl", oh_c0, tree.is_terminal.astype(jnp.float32),
+                preferred_element_type=jnp.float32).reshape(-1) > 0.5) \
+                & (child0 >= 0)
+            need0 = (child0 < 0) & valid0
+            child_idx0 = jnp.where(valid0,
+                                   jnp.where(need0, NEW_MARK, child0), 0)
+            path_nodes = path_nodes0.at[:, 0].set(
+                jnp.where(valid0, child_idx0, -1))
+            path_actions = jnp.zeros((W, D), jnp.int32).at[:, 0].set(
+                jnp.where(valid0, action0, 0))
+            alloc_parent0 = jnp.where(need0, 0, spare).astype(jnp.int32)
+            alloc_action0 = jnp.where(need0, action0, 0)
+            done0 = ~valid0 | need0 | term0
+            # Replicas of one candidate are lane-contiguous: arrival rank
+            # at the shared root child is the replica index.
+            rank0 = (jnp.arange(W) % group).astype(jnp.int32)
+            depth0 = jnp.where(valid0, 1, 0)
 
-            known_terminal = (child >= 0) & tree.is_terminal[
-                bw, jnp.clip(child_idx, 0, max_nodes - 1)]
-            stop = (need_alloc | known_terminal) & active
+            def body(carry):
+                (cur, rank, depth, done, path_nodes, path_actions,
+                 alloc_parent, alloc_action) = carry
+                active = ~done
+                node_c = jnp.clip(cur, 0, max_nodes - 1)
+                ohn = jax.nn.one_hot(node_c.reshape(B, L), max_nodes,
+                                     dtype=jnp.float32)
+                row = jnp.einsum("bln,bnc->blc", ohn, trans_flat,
+                                 preferred_element_type=jnp.float32)
+                if group == 1:
+                    sel = row.reshape(W, 4)
+                    new_rank = rank
+                else:
+                    row = row.reshape(W, group, 4)
+                    ohr = jax.nn.one_hot(jnp.clip(rank, 0, group - 1),
+                                         group, dtype=jnp.float32)
+                    sel = jnp.einsum("wg,wgc->wc", ohr, row)
+                    new_rank = sel[:, 3].astype(jnp.int32)
+                child = sel[:, 0].astype(jnp.int32)
+                a = sel[:, 1].astype(jnp.int32)
+                term = sel[:, 2] > 0.5
+                need_alloc = (child < 0) & active
+                child_idx = jnp.where(need_alloc, NEW_MARK, child)
+                alloc_parent = jnp.where(need_alloc, node_c, alloc_parent)
+                alloc_action = jnp.where(need_alloc, a, alloc_action)
+                stop = (need_alloc | term) & active
+                wr = jax.nn.one_hot(depth, D, dtype=jnp.bool_) \
+                    & active[:, None]
+                path_nodes = jnp.where(wr, child_idx[:, None], path_nodes)
+                path_actions = jnp.where(wr, a[:, None], path_actions)
+                cur = jnp.where(active, child_idx, cur)
+                rank = jnp.where(active, new_rank, rank)
+                depth = depth + active.astype(jnp.int32)
+                done = done | stop | (depth >= D)
+                return (cur, rank, depth, done, path_nodes, path_actions,
+                        alloc_parent, alloc_action)
 
-            path_nodes = path_nodes.at[lane, depth].set(
-                jnp.where(active, child_idx, path_nodes[lane, depth]))
-            path_actions = path_actions.at[lane, depth].set(
-                jnp.where(active, a, path_actions[lane, depth]))
-            cur = jnp.where(active, child_idx, cur)
-            depth = depth + active.astype(jnp.int32)
-            done = done | stop | (depth >= D)
-            return (cur, depth, done, path_nodes, path_actions,
-                    alloc_parent, alloc_action)
+            def cond(carry):
+                return ~jnp.all(carry[3])
 
-        def cond(carry):
-            done = carry[2]
-            return ~jnp.all(done)
+            init = (child_idx0, rank0, depth0, done0, path_nodes,
+                    path_actions, alloc_parent0, alloc_action0)
+            (cur_final, _, _, _, path_nodes, path_actions, alloc_parent,
+             alloc_action) = jax.lax.while_loop(cond, body, init)
+        else:
+            act_table = _sweep_action_table(
+                tree, params.c_visit, params.c_scale, group)  # [B, N, g]
 
-        init = (jnp.zeros((W,), jnp.int32), jnp.zeros((W,), jnp.int32),
-                ~valid0, path_nodes0, jnp.zeros((W, D), jnp.int32),
-                jnp.full((W,), spare, jnp.int32), jnp.zeros((W,), jnp.int32))
-        (cur_final, depth, _, path_nodes, path_actions, alloc_parent,
-         alloc_action) = jax.lax.while_loop(cond, body, init)
+            def body(carry):
+                (cur, depth, done, path_nodes, path_actions,
+                 alloc_parent, alloc_action) = carry
+                active = ~done
+                node = cur  # parent for this edge; depth 0 => root(0)
+                node_c = jnp.clip(node, 0, max_nodes - 1)
+                if group == 1:
+                    a_policy = act_table[bw, node_c, 0]
+                else:
+                    # Arrival rank among this board's ACTIVE lanes at the
+                    # same node (a transposed MCGS node CAN be shared
+                    # across candidates, where ranks >= group keep the
+                    # pre-table behavior of action 0).
+                    nodeb = node.reshape(B, L)
+                    actb = active.reshape(B, L)
+                    eq = (nodeb[:, :, None] == nodeb[:, None, :]) \
+                        & actb[:, :, None] & actb[:, None, :]
+                    rank = jnp.sum(eq & lane_lt, axis=2).reshape(-1)
+                    a_pick = act_table[bw, node_c,
+                                       jnp.clip(rank, 0, group - 1)]
+                    a_policy = jnp.where(rank < group, a_pick, 0)
+                a = jnp.where(depth == 0, action0, a_policy)
+
+                child = tree.children[bw, node, a]
+                need_alloc = (child < 0) & active
+                child_idx = jnp.where(need_alloc, NEW_MARK,
+                                      child).astype(jnp.int32)
+                alloc_parent = jnp.where(need_alloc, node, alloc_parent)
+                alloc_action = jnp.where(need_alloc, a, alloc_action)
+
+                known_terminal = (child >= 0) & tree.is_terminal[
+                    bw, jnp.clip(child_idx, 0, max_nodes - 1)]
+                stop = (need_alloc | known_terminal) & active
+
+                path_nodes = path_nodes.at[lane, depth].set(
+                    jnp.where(active, child_idx, path_nodes[lane, depth]))
+                path_actions = path_actions.at[lane, depth].set(
+                    jnp.where(active, a, path_actions[lane, depth]))
+                cur = jnp.where(active, child_idx, cur)
+                depth = depth + active.astype(jnp.int32)
+                done = done | stop | (depth >= D)
+                return (cur, depth, done, path_nodes, path_actions,
+                        alloc_parent, alloc_action)
+
+            def cond(carry):
+                done = carry[2]
+                return ~jnp.all(done)
+
+            init = (jnp.zeros((W,), jnp.int32), jnp.zeros((W,), jnp.int32),
+                    ~valid0, path_nodes0, jnp.zeros((W, D), jnp.int32),
+                    jnp.full((W,), spare, jnp.int32),
+                    jnp.zeros((W,), jnp.int32))
+            (cur_final, _, _, path_nodes, path_actions, alloc_parent,
+             alloc_action) = jax.lax.while_loop(cond, body, init)
 
         # --- leaf board: gather the alloc parent's stored position
         # (one-hot row reads; uint32 hashes via exact 16-bit halves) and
@@ -1128,6 +1280,10 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         wz_new = tree.w_outcome[bD, node_s] + jnp.where(on_path, add_wz, 0.0)
         vz_new = wz_new / jnp.maximum(n_new, 1)
         dvar_z = (qz - vz_old) * (qz - vz_new)
+        # Third-moment increment (v_m3, tree.h:46): Pébay update matching
+        # the Welford dvar above; m2_old read before this sweep's update.
+        dm3 = welford_m3_delta(q, v_old, n_new,
+                               tree.v_var_sum[bD, node_s], dvar)
         bucket = jnp.clip(((qz + 1.0) / V_BUCKET_RANGE).astype(jnp.int32), 0,
                           NUM_V_BUCKETS - 1)
         nonleaf = on_path & ~is_leaf_slot
@@ -1152,14 +1308,15 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
                 add_sc.reshape(B, I) * onp,
                 dvar.reshape(B, I) * nlf,
                 dvar_z.reshape(B, I) * nlf,
+                dm3.reshape(B, I) * nlf,
             ], axis=-1),
             oh_bucket * nlf[:, :, None],
-        ], axis=-1)  # [B, I, 6 + 51]
+        ], axis=-1)  # [B, I, 7 + 51]
         deltas = jnp.einsum("bif,bin->bnf", stacked, oh,
                             preferred_element_type=jnp.float32)
-        d_n, d_w, d_wz, d_sc, d_var, d_varz = (deltas[..., i]
-                                               for i in range(6))
-        cat_add = deltas[..., 6:]
+        d_n, d_w, d_wz, d_sc, d_var, d_varz, d_m3 = (deltas[..., i]
+                                                     for i in range(7))
+        cat_add = deltas[..., 7:]
 
         # Edge-stat updates: the edge (parent, action) accumulates the same
         # increments as its child node (tree mode: edge stats == child
@@ -1202,6 +1359,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             score_sum=tree.score_sum + d_sc,
             v_var_sum=tree.v_var_sum + d_var,
             vz_var_sum=tree.vz_var_sum + d_varz,
+            v_m3_sum=tree.v_m3_sum + d_m3,
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
             edge_n=tree.edge_n + e_n.astype(jnp.int32),
             edge_w=tree.edge_w + e_w,

@@ -46,6 +46,7 @@ from p3achygo_tpu.mcts.tree import (
     child_visits,
     make_tree,
     q_of_children,
+    welford_m3_delta,
 )
 from p3achygo_tpu.constants import BLACK
 
@@ -69,6 +70,22 @@ class PuctParams:
     # "direct" | "integral" (ScoreUtilityMode, leaf_evaluator.h:12-16).
     score_utility_mode: str = "direct"
     terminal_mode: str = "cheap"
+    # Experimental variants (search_policy.h:24-50):
+    # PUCT-V (search_policy.h:292-312): exploration scaled by the child's
+    # value stddev plus a log-visit term weighted by c_puct_v_2.
+    use_puct_v: bool = False
+    c_puct_v_2: float = 3.0
+    # M3/skewness bonus (search_policy.h:277-290): children with a larger
+    # positive value tail than the visit-weighted average get a bonus that
+    # decays with visits (dampened by m3_prior_visits).
+    enable_m3_bonus: bool = False
+    m3_prior_visits: int = 20
+    # Optimistic-policy interpolation (search_policy.h:171-185). The
+    # reference blends move_probs with opt_probs per node; the tree stores
+    # one prior set, so the blend happens at NN-eval time — build the
+    # eval_fn with make_eval_fn(p_opt_weight=...) to honor this knob (the
+    # EvalRunner/player_config wiring does). Kept here for config parity.
+    p_opt_weight: float = 0.0
 
 
 def _puct_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
@@ -89,11 +106,16 @@ def _puct_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
     fpu = jnp.where(is_root, p.root_fpu, p.fpu)
     v_fpu = v - fpu * jnp.sqrt(p_explored)
 
-    c_puct = p.c_puct + p.c_puct_visit_scaling * jnp.log((n + 500.0) / 500.0)
+    scale_cpuct = lambda c: c + p.c_puct_visit_scaling * jnp.log(
+        (n + 500.0) / 500.0)  # ScaleCPuct (search_policy.h:150-157)
+    c_puct = scale_cpuct(p.c_puct)
     canonical_n = 1.0 + jnp.sum(nvis, axis=-1).astype(jnp.float32)
 
-    if p.enable_var_scaling:
-        # per-child variance scale (search_policy.h:256-269)
+    need_kids = p.enable_var_scaling or p.use_puct_v or p.enable_m3_bonus
+    if need_kids:
+        # Per-child node stats (variance / third moment). PUCT runs only
+        # in eval/GTP/experiments contexts (never the selfplay hot path),
+        # so a per-row child gather is acceptable here.
         kids = tree.children[b, node]
         safe = jnp.clip(kids, 0, tree.n.shape[1] - 1)
         kid_n = tree.n[b[:, None], safe].astype(jnp.float32)
@@ -101,6 +123,9 @@ def _puct_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
             kid_n > 0, tree.v_var_sum[b[:, None], safe] / jnp.maximum(kid_n, 1),
             0.0)
         kid_std = jnp.sqrt(jnp.maximum(kid_var, 0.0))
+
+    if p.enable_var_scaling:
+        # per-child variance scale (search_policy.h:256-269)
         std_mean = jnp.sum(jnp.where(nvis >= 3, kid_std * nvis, 0.0), axis=-1) \
             / jnp.maximum(n, 1.0)
         pw = float(p.var_scale_prior_visits)
@@ -112,10 +137,47 @@ def _puct_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
     else:
         scale = 1.0
 
-    explore = (c_puct[:, None] * scale * probs
-               * (jnp.sqrt(canonical_n)[:, None] / (1.0 + nvis)))
+    if p.use_puct_v:
+        # PUCT-V (search_policy.h:292-312): children with uncertain values
+        # get extra exploration; var falls back to the parent's (or 1).
+        parent_var = jnp.where(n > 0, tree.v_var_sum[b, node]
+                               / jnp.maximum(n, 1.0), 0.0)
+        fallback = jnp.where(n < 3, 1.0, parent_var)[:, None]
+        var_a = jnp.where(nvis >= 3, jnp.maximum(kid_var, 0.0), fallback)
+        std_a = jnp.sqrt(jnp.maximum(var_a, 0.0))
+        c_puct_v2 = scale_cpuct(p.c_puct_v_2)
+        var_scale_term = probs * std_a * (
+            jnp.sqrt(canonical_n)[:, None] / (1.0 + nvis))
+        n_scale_term = probs * (
+            jnp.log(canonical_n)[:, None] / (1.0 + nvis))
+        explore = (c_puct[:, None] * var_scale_term
+                   + c_puct_v2[:, None] * n_scale_term)
+    else:
+        explore = (c_puct[:, None] * scale * probs
+                   * (jnp.sqrt(canonical_n)[:, None] / (1.0 + nvis)))
+
+    if p.enable_m3_bonus:
+        # M3 bonus (search_policy.h:277-290): q_m3 of a child is -v_m3
+        # (sign flip into the parent's perspective); its signed cube root
+        # is compared with the visit-weighted mean over >=3-visit
+        # children.
+        kid_m3 = jnp.where(
+            kid_n > 0, tree.v_m3_sum[b[:, None], safe] / jnp.maximum(kid_n, 1),
+            0.0)
+        q_m3 = -kid_m3
+        m3_std = jnp.sign(q_m3) * jnp.abs(q_m3) ** (1.0 / 3.0)
+        m3_std_mean = jnp.sum(jnp.where(nvis >= 3, m3_std * nvis, 0.0),
+                              axis=-1) / jnp.maximum(n, 1.0)
+        pm = float(p.m3_prior_visits)
+        m3_bonus = jnp.where(
+            nvis >= 3,
+            (pm + (m3_std - m3_std_mean[:, None])) / (pm + nvis),
+            0.0)
+    else:
+        m3_bonus = 0.0
+
     canonical_q = jnp.where(visited, q, v_fpu[:, None])
-    scores = explore + canonical_q
+    scores = explore + canonical_q + m3_bonus
     return jnp.argmax(jnp.where(legal, scores, _BIG_NEG), axis=-1).astype(jnp.int32)
 
 
@@ -357,6 +419,9 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
                   + jnp.where(on_path, add_wz, 0.0))
         vz_new = wz_new / jnp.maximum(n_old + on_path, 1)
         dvar_z = (qz - vz_old) * (qz - vz_new)
+        # Third-moment increment (v_m3, tree.h:46; see welford_m3_delta).
+        dm3 = welford_m3_delta(q, v_old, n_old + on_path,
+                               tree.v_var_sum[b[:, None], node_s], dvar)
         bucket = jnp.clip(((qz + 1.0) / V_BUCKET_RANGE).astype(jnp.int32), 0,
                           NUM_V_BUCKETS - 1)
         nonleaf = on_path & ~is_leaf_slot
@@ -393,6 +458,7 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
             score_sum=tree.score_sum + acc(add_sc, onp),
             v_var_sum=tree.v_var_sum + acc(dvar, nlf),
             vz_var_sum=tree.vz_var_sum + acc(dvar_z, nlf),
+            v_m3_sum=tree.v_m3_sum + acc(dm3, nlf),
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
             edge_n=tree.edge_n + edge(onp, onp).astype(jnp.int32),
             edge_w=tree.edge_w + edge(add_w, onp),

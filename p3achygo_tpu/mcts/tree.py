@@ -45,6 +45,13 @@ class Tree(NamedTuple):
     score_sum: jnp.ndarray  # f32[B, N] running mean * n of score est
     v_var_sum: jnp.ndarray  # f32[B, N] n * Var(v) (incremental, tree.h:810)
     vz_var_sum: jnp.ndarray  # f32[B, N] n * Var(v_outcome) (tree.h:52)
+    # n * M3(v): non-standardized third central moment (tree.h:46 v_m3),
+    # consumed by the experimental M3 bonus / PUCT-V variants
+    # (search_policy.h:277-302). Maintained by the Pébay online update
+    # (welford_m3_delta) — the reference recomputes it as a mixture over
+    # children (tree.h:198-228); ours tracks the backed-up observation
+    # stream like v_var_sum does (documented deviation, same as variance).
+    v_m3_sum: jnp.ndarray  # f32[B, N]
     init_util: jnp.ndarray  # f32[B, N]
     init_outcome: jnp.ndarray  # f32[B, N]
     init_score: jnp.ndarray  # f32[B, N]
@@ -90,6 +97,7 @@ def make_tree(batch_size: int, max_nodes: int) -> Tree:
         w_outcome=jnp.zeros((B, N), jnp.float32),
         score_sum=jnp.zeros((B, N), jnp.float32),
         v_var_sum=jnp.zeros((B, N), jnp.float32),
+        v_m3_sum=jnp.zeros((B, N), jnp.float32),
         vz_var_sum=jnp.zeros((B, N), jnp.float32),
         init_util=jnp.zeros((B, N), jnp.float32),
         init_outcome=jnp.zeros((B, N), jnp.float32),
@@ -283,6 +291,25 @@ def mcgs_insert(table: McgsTable, k_r: int, slot: jnp.ndarray,
     )
 
 
+def welford_m3_delta(q, v_old, n_new, m2_old, dvar):
+    """Pébay online third-central-moment increment.
+
+    For one new observation q at a node with pre-update mean v_old, count
+    n_new = n_old + 1, and accumulated M2 m2_old (= v_var_sum), given the
+    matching M2 increment dvar = (q - v_old)(q - v_new):
+
+        delta_n = (q - v_old) / n_new
+        dM3 = dvar * delta_n * (n_new - 2) - 3 * delta_n * m2_old
+
+    so that sum over a sequence of updates reproduces
+    n * M3 = sum_i (x_i - mean)^3 exactly. Inputs broadcast; callers mask
+    leaf slots like they do for dvar.
+    """
+    safe_n = jnp.maximum(n_new, 1.0)
+    delta_n = (q - v_old) / safe_n
+    return dvar * delta_n * (n_new - 2.0) - 3.0 * delta_n * m2_old
+
+
 def compact_subtree(tree: Tree, action: jnp.ndarray, capacity: int) -> Tree:
     """Extract the subtree under root's child `action` into a fresh tree.
 
@@ -398,6 +425,7 @@ def _compact(tree: Tree, new_root: jnp.ndarray, capacity: int) -> Tree:
         score_sum=rows(tree.score_sum),
         v_var_sum=rows(tree.v_var_sum),
         vz_var_sum=rows(tree.vz_var_sum),
+        v_m3_sum=rows(tree.v_m3_sum),
         init_util=rows(tree.init_util),
         init_outcome=rows(tree.init_outcome),
         init_score=rows(tree.init_score),

@@ -112,3 +112,83 @@ def test_puct_return_tree_seeds_gumbel():
                           init_tree=seed, reuse_capacity=cap)
     # Root visits accumulated on top of the carried PUCT statistics.
     assert (np.asarray(res2.visits) >= 16).all()
+
+
+def test_puct_v_variant():
+    """PUCT-V (search_policy.h:292-312) compiles, searches legally, and
+    still finds the value move with concentrated priors."""
+    states = batch_states(2)
+    p = PuctParams(n=48, max_depth=12, use_puct_v=True, c_puct_v_2=3.0)
+    res = search_root_puct(jax.random.PRNGKey(0), states, value_eval_fn, p)
+    assert int(res.visits[0]) == 48
+    masks = np.asarray(jax.vmap(legal_mask)(states))
+    mv = np.asarray(res.mcts_move)
+    assert all(masks[i, mv[i]] for i in range(2))
+    assert np.asarray(res.mcts_move).tolist() == [GOOD, GOOD]
+
+
+def test_m3_bonus_variant():
+    """M3 bonus (search_policy.h:277-290) path compiles and visits stay on
+    budget; v_m3_sum accumulates finite values."""
+    states = batch_states(1)
+    p = PuctParams(n=24, max_depth=8, enable_m3_bonus=True,
+                   m3_prior_visits=20)
+    res, tree = search_root_puct(jax.random.PRNGKey(0), states,
+                                 value_eval_fn, p, return_tree=True)
+    assert int(res.visits[0]) == 24
+    m3 = np.asarray(tree.v_m3_sum)
+    assert np.isfinite(m3).all()
+
+
+def test_welford_m3_matches_numpy():
+    """welford_m3_delta: sequential updates reproduce n*M3 of the sample."""
+    from p3achygo_tpu.mcts.tree import welford_m3_delta
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=50) * 0.7 + 0.1
+    n, mean, m2, m3 = 0.0, 0.0, 0.0, 0.0
+    for x in xs:
+        n_new = n + 1.0
+        v_old = mean
+        v_new = (mean * n + x) / n_new
+        dvar = (x - v_old) * (x - v_new)
+        dm3 = float(welford_m3_delta(
+            jnp.float32(x), jnp.float32(v_old), jnp.float32(n_new),
+            jnp.float32(m2), jnp.float32(dvar)))
+        m2 += dvar
+        m3 += dm3
+        mean, n = v_new, n_new
+    expected_m3 = np.sum((xs - xs.mean()) ** 3)
+    np.testing.assert_allclose(m3, expected_m3, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(m2, np.sum((xs - xs.mean()) ** 2), rtol=1e-4)
+
+
+def test_m3_zero_for_constant_values():
+    """All identical backed-up values => zero third moment at every node."""
+    states = batch_states(1)
+    p = PuctParams(n=16, max_depth=8)
+    _, tree = search_root_puct(jax.random.PRNGKey(0), states,
+                               uniform_eval_fn, p, return_tree=True)
+    np.testing.assert_allclose(np.asarray(tree.v_m3_sum), 0.0, atol=1e-5)
+
+
+def test_p_opt_weight_eval_adapter():
+    """make_eval_fn(p_opt_weight=1.0) uses the optimistic policy head
+    (search_policy.h:171-185 interpolation done at eval time)."""
+    from p3achygo_tpu.mcts.gumbel import make_eval_fn
+    from p3achygo_tpu.models import build_model, get_config, init_params
+
+    model = build_model(get_config("b8c64"), dtype=jnp.float32)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    states = batch_states(2)
+    e0 = make_eval_fn(model, variables, symmetrize=False)(states)
+    e1 = make_eval_fn(model, variables, symmetrize=False,
+                      p_opt_weight=1.0)(states)
+    p0 = np.exp(np.asarray(e0.log_priors))
+    p1 = np.exp(np.asarray(e1.log_priors))
+    np.testing.assert_allclose(p0.sum(-1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(p1.sum(-1), 1.0, atol=1e-4)
+    # The optimistic head differs from the plain policy on a random net.
+    assert np.abs(p0 - p1).max() > 1e-6
+    # Values are unaffected by the blend.
+    np.testing.assert_allclose(np.asarray(e0.outcome_value),
+                               np.asarray(e1.outcome_value), atol=1e-6)
