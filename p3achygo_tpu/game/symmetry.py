@@ -55,6 +55,28 @@ def apply_symmetry_grid(grid: jnp.ndarray, sym: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(grid, SYM_GATHER[sym], axis=-1)
 
 
+def apply_symmetry_grid_batch(grid: jnp.ndarray,
+                              sym: jnp.ndarray) -> jnp.ndarray:
+    """Per-board D4 transform of [B, 361] grids (any dtype), batched.
+
+    Decomposes each symmetry into flip/transpose selects instead of a
+    per-example gather (which serializes on TPU) or an 8-way one-hot
+    gather accumulation (8x the array traffic): col-flip if sym >= 4,
+    then rot90^k as (transpose if k odd, row-flip if k in {1,2},
+    col-flip if k in {2,3}) — exactly _transform_grid's convention, so
+    the result matches apply_symmetry_grid(grid[i], sym[i]) row-wise.
+    """
+    B = grid.shape[0]
+    g = grid.reshape(B, BOARD_LEN, BOARD_LEN)
+    k = sym % 4
+    g = jnp.where((sym >= 4)[:, None, None], g[:, :, ::-1], g)
+    gt = jnp.swapaxes(g, 1, 2)
+    g = jnp.where((k % 2 == 1)[:, None, None], gt, g)
+    g = jnp.where(((k == 1) | (k == 2))[:, None, None], g[:, ::-1, :], g)
+    g = jnp.where(((k == 2) | (k == 3))[:, None, None], g[:, :, ::-1], g)
+    return g.reshape(B, NUM_LOCS)
+
+
 def apply_inverse_grid(grid: jnp.ndarray, sym: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(grid, SYM_SCATTER[sym], axis=-1)
 

@@ -56,6 +56,8 @@ from p3achygo_tpu.game.symmetry import (
     NUM_SYMMETRIES,
     SYM_GATHER,
     SYM_SCATTER,
+    apply_symmetry_action,
+    apply_symmetry_grid_batch,
 )
 from p3achygo_tpu.mcts.tree import (
     MAX_Q,
@@ -200,18 +202,28 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
     # first called under jit, e.g. by EvalRunner's step programs).
 
     def eval_fn(states: GoState) -> EvalOutput:
-        planes, scalars = batched_features(states, include_ladders)
         if symmetrize:
+            # Symmetrize the STATE, not the planes: flip/transpose selects
+            # on the [B,361] int grids cost ~1/30th of the 8x one-hot
+            # gather accumulation over the [B,361,15] f32 planes it
+            # replaces (benchmarks/profile_sweep_parts.py: 4.3 ms vs
+            # 15.5 ms at W=15360, minus a full plane pass). chain_id
+            # labels are arbitrary-but-consistent representative indices,
+            # so permuting positions without remapping values keeps every
+            # chain's label unique (liberty counts only compare labels).
             sym = (states.hash[:, 0] % 8).astype(jnp.int32)  # [B]
-            n, H, W_, C = planes.shape
-            flat = planes.reshape(n, H * W_, C)
-            # All 8 transforms via constant-index gathers, then a per-board
-            # select (per-example-index gathers serialize on TPU).
+            ko = states.ko_point
+            states = states._replace(
+                stones=apply_symmetry_grid_batch(states.stones, sym),
+                chain_id=apply_symmetry_grid_batch(states.chain_id, sym),
+                last_moves=jax.vmap(apply_symmetry_action)(
+                    states.last_moves, sym),
+                ko_point=jnp.where(
+                    (ko >= 0) & (ko < NUM_LOCS),
+                    SYM_SCATTER[sym, jnp.clip(ko, 0, NUM_LOCS - 1)], ko),
+            )
             sym_oh = jax.nn.one_hot(sym, NUM_SYMMETRIES)  # [B, 8]
-            acc = jnp.zeros_like(flat)
-            for s in range(NUM_SYMMETRIES):
-                acc = acc + sym_oh[:, s, None, None] * flat[:, SYM_GATHER[s], :]
-            planes = acc.reshape(n, H, W_, C)
+        planes, scalars = batched_features(states, include_ladders)
         out = model.apply(variables, planes, scalars, train=False)
         pi_logits = out.pi_logits
         if p_opt_weight > 0.0:

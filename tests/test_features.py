@@ -79,3 +79,46 @@ def test_vmapped():
     planes, scalars = jax.vmap(lambda s: features(s))(states)
     assert planes.shape == (B, 19, 19, 15)
     assert scalars.shape == (B, 8)
+
+
+def test_state_level_symmetrize_matches_plane_level():
+    """make_eval_fn's state-level symmetrize (flip/transpose the stone and
+    chain grids BEFORE featurizing) must produce exactly the planes the old
+    path produced by featurizing first and gather-transforming the planes
+    (nn_interface.cc:123-127 random-symmetry semantics)."""
+    from p3achygo_tpu.features import batched_features
+    from p3achygo_tpu.game.symmetry import (
+        NUM_SYMMETRIES,
+        apply_symmetry_action,
+        apply_symmetry_grid,
+        apply_symmetry_grid_batch,
+    )
+
+    # a position with chains, captures nearby, a recent move history
+    st = new_state()
+    rng = np.random.RandomState(7)
+    for mv in [P(3, 3), P(3, 4), P(15, 16), P(4, 3), P(0, 0), P(4, 4),
+               PASS_MOVE, P(10, 2), P(2, 3), P(9, 9)]:
+        st, _ = step(st, jnp.int32(mv))
+
+    B = NUM_SYMMETRIES
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), st)
+    sym = jnp.arange(B, dtype=jnp.int32)
+
+    # plane-level (reference path)
+    planes, scalars = batched_features(states, include_ladders=False)
+    want = jax.vmap(
+        lambda p, s: apply_symmetry_grid(
+            p.reshape(361, 15).T, s).T.reshape(19, 19, 15))(planes, sym)
+
+    # state-level (new path)
+    sym_states = states._replace(
+        stones=apply_symmetry_grid_batch(states.stones, sym),
+        chain_id=apply_symmetry_grid_batch(states.chain_id, sym),
+        last_moves=jax.vmap(apply_symmetry_action)(states.last_moves, sym),
+    )
+    got, scalars2 = batched_features(sym_states, include_ladders=False)
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(scalars), np.asarray(scalars2))
