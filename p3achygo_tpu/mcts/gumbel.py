@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from p3achygo_tpu.constants import (
     BLACK,
     BOARD_LEN,
+    NUM_LOCS,
     NUM_MOVES,
     NUM_SCORE_LOGITS,
     PASS_MOVE,
