@@ -35,7 +35,8 @@ import numpy as np
 from p3achygo_tpu.constants import BLACK, NUM_MOVES, PASS_MOVE
 from p3achygo_tpu.game.board import GoState, from_stones
 from p3achygo_tpu.mcts.bias import make_bias_table
-from p3achygo_tpu.mcts.gumbel import EvalFn, SearchParams, search_root
+from p3achygo_tpu.mcts.gumbel import (EvalFn, GumbelResult, SearchParams,
+                                      search_root)
 from p3achygo_tpu.mcts.puct import PuctParams, search_root_puct
 
 # gumbel_visits_study.cc:87-92.
@@ -130,7 +131,11 @@ def run_visits_study(eval_fn: EvalFn, states: GoState,
 
     def unpack(out):
         # search_root returns (result[, tree][, bias_table]) depending on
-        # init_tree/bias_table; the result always leads.
+        # init_tree/bias_table; the result always leads. GumbelResult is
+        # itself a (Named)tuple, so check for it FIRST — `out[0]` on a bare
+        # result would silently grab mcts_move.
+        if isinstance(out, GumbelResult):
+            return out
         return out[0] if isinstance(out, tuple) else out
 
     if use_gumbel:

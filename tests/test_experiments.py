@@ -84,6 +84,30 @@ def test_visits_study_gumbel_mode():
     assert "Visit Count Study" in text and "nats/visit" in text
 
 
+@pytest.mark.parametrize("bias_lambda", [0.0, 0.3])
+def test_visits_study_gumbel_mode_bias_variants(bias_lambda):
+    """VERDICT r2 weak#1: bare GumbelResult (bias off) vs tuple (bias on)
+    returns from search_root must both unpack correctly."""
+    states = states_from_examples(_fake_examples(2))
+    report = run_visits_study(
+        _value_eval_fn, states, n_values=(8,), gt_n=16, k=4,
+        seed_visits=0, use_gumbel=True, bias_lambda=bias_lambda,
+        max_depth=8)
+    assert report["examples"] == 2
+    assert np.isfinite(report["per_n"][0]["kld_gt"]["mean"])
+
+
+@pytest.mark.parametrize("bias_lambda", [0.0, 0.3])
+def test_visits_study_puct_mode_bias_variants(bias_lambda):
+    states = states_from_examples(_fake_examples(2))
+    report = run_visits_study(
+        _value_eval_fn, states, n_values=(8,), gt_n=16, k=4,
+        seed_visits=0, use_gumbel=False, bias_lambda=bias_lambda,
+        max_depth=8)
+    assert report["mode"] == "puct"
+    assert np.isfinite(report["per_n"][0]["kld_gt"]["mean"])
+
+
 def test_visits_study_puct_mode():
     states = states_from_examples(_fake_examples(2))
     report = run_visits_study(
