@@ -114,11 +114,15 @@ def _parse_board(s):
 REF_STATUS = {0: 0, 1: 1, 2: 2, 3: 3, 4: 6, 5: 4, 6: 5}
 
 
-def _random_game_parity(seed, plies, check_legal_every=10):
-    """Play a fixed-seed random legal game on both engines in lockstep."""
+def _random_game_parity(seed, plies, check_legal_every=10, komi=7.5,
+                        init_state=None, init_oracle=None):
+    """Play a fixed-seed random legal game on both engines in lockstep.
+
+    `init_state`/`init_oracle` optionally start from a prepared position
+    (handicap-start coverage); default is an empty board."""
     rng = np.random.default_rng(seed)
-    st = new_state(7.5)
-    oracle = Oracle(komi=7.5)
+    st = init_state if init_state is not None else new_state(komi)
+    oracle = init_oracle if init_oracle is not None else Oracle(komi=komi)
     legal_fn = jax.jit(full_legal_mask)
     step_fn = jax.jit(step)
     try:
@@ -267,5 +271,73 @@ def test_ladder_parity_reference_cases(name):
             assert not theirs[_ij(i, j)], f"{name}: oracle disagrees"
         np.testing.assert_array_equal(
             ours, theirs, err_msg=f"{name}: ladder maps diverge")
+    finally:
+        oracle.close()
+
+
+# --- endgame / komi / handicap coverage (VERDICT r2 weak #9) ---
+
+def test_double_pass_end_parity():
+    """Consecutive-pass game-end semantics (board.cc IsGameOver: two
+    consecutive passes): force pass/pass after a random middlegame and
+    compare game-over flags and exact scores."""
+    st, oracle = _random_game_parity(11, plies=60, check_legal_every=999)
+    try:
+        step_fn = jax.jit(step)
+        for _ in range(2):
+            color = int(st.to_move)
+            st, status = step_fn(st, jnp.int32(PASS_MOVE))
+            ref_status, _ = oracle.play(color, PASS_MOVE)
+            assert int(status) == REF_STATUS[ref_status] == 0
+        assert bool(is_game_over(st)) and oracle.game_over()
+        b_ref, w_ref, own_ref = oracle.score()
+        b, w, own = score(st)
+        assert float(b) == pytest.approx(b_ref)
+        assert float(w) == pytest.approx(w_ref)
+        np.testing.assert_array_equal(np.asarray(own), own_ref)
+    finally:
+        oracle.close()
+
+
+@pytest.mark.parametrize("komi", [0.5, 5.5, 9.5])
+def test_komi_sweep_score_parity(komi):
+    """Score parity across komi values (game.h:15 komi plumbed through
+    Scores; rl/loop.py randomizes komi over ~4.5..10.5)."""
+    st, oracle = _random_game_parity(13, plies=140, check_legal_every=70,
+                                     komi=komi)
+    try:
+        b_ref, w_ref, _ = oracle.score()
+        b, w, _ = score(st)
+        assert float(b) == pytest.approx(b_ref)
+        assert float(w) == pytest.approx(w_ref)
+        assert w - b == pytest.approx(w_ref - b_ref)
+    finally:
+        oracle.close()
+
+
+@pytest.mark.parametrize("handicap", [2, 3, 4])
+def test_handicap_start_parity(handicap):
+    """Handicap starts (board.cc:466-492 kHandicapStones; used by
+    rl/loop.py _build_restart_batch): black stones pre-placed, WHITE
+    moves first; move/legality/stones parity over a random game, then
+    score parity."""
+    from p3achygo_tpu.game.board import from_stones
+
+    HANDICAP_STONES = (15 * 19 + 3, 3 * 19 + 15, 3 * 19 + 3, 15 * 19 + 15)
+    stones = np.zeros(NUM_LOCS, np.int8)
+    for loc in HANDICAP_STONES[:handicap]:
+        stones[loc] = BLACK
+    st = from_stones(jnp.asarray(stones), 7.5, to_move=WHITE)
+    oracle = Oracle(komi=7.5)
+    try:
+        oracle.set_board(stones)
+        st, oracle = _random_game_parity(17 + handicap, plies=100,
+                                         check_legal_every=25,
+                                         init_state=st, init_oracle=oracle)
+        b_ref, w_ref, own_ref = oracle.score()
+        b, w, own = score(st)
+        assert float(b) == pytest.approx(b_ref)
+        assert float(w) == pytest.approx(w_ref)
+        np.testing.assert_array_equal(np.asarray(own), own_ref)
     finally:
         oracle.close()
