@@ -264,29 +264,73 @@ class GtpService:
         return ""
 
     def cmd_genmove(self, color=""):
-        import time as _time
-
         c = parse_color(color)
         st = self.state
         if int(st.to_move) != c:
             st = st._replace(to_move=jnp.int8(c))
         budget = self.time_control.compute_move_time_ms(
             int(st.move_count), self._last_root_v)
-        nmax = self.config.search.n
-        choices = tuple(n for n in (16, 32, 64, 128, 256, 512) if n <= nmax)             or (nmax,)
-        n = self.time_control.pick_visits(budget, choices, default=nmax)
-        self.key, ks = jax.random.split(self.key)
-        t0 = _time.time()
-        res, work = self._run_search(n, ks, st)
+        res, work = self._timed_search(st, budget)
         action = int(res.mcts_move[0])
-        self.time_control.observe_search(
-            (_time.time() - t0) * 1000.0, int(res.visits[0]))
         self._last_root_v = float(res.root_value[0])
         self._history.append(self.state)
         self._moves.append((c, action))
         self.state, _ = step(st, jnp.int32(action))
         self._advance_tree(action, work)
         return action_to_gtp_vertex(action)
+
+    def _timed_search(self, st, budget_ms, clock=None):
+        """Search within a wall-clock budget by ACCUMULATED SLICES.
+
+        The reference aborts a running search from a timer thread at the
+        per-move budget (search.cc:795-807, time_control.cc:35). A jitted
+        search has a static visit count, so mid-search cutoff happens at
+        slice granularity instead: run small precompiled slices that
+        accumulate into the carried tree (the lz-analyze machinery,
+        service.cc:677-705 Ponder-style), and stop starting new slices
+        once the remaining budget would be overrun (predicted by the
+        online ms/visit estimate). A byoyomi period is therefore never
+        exceeded as long as one slice fits; the first slice always runs.
+
+        budget_ms <= 0 = untimed: one fixed-visit search at config n.
+        `clock` (for tests) -> current time in seconds.
+        """
+        import time as _time
+        clock = clock or _time.time
+
+        nmax = self.config.search.n
+        self.key, ks = jax.random.split(self.key)
+        if budget_ms <= 0:
+            t0 = clock()
+            res, work = self._run_search(nmax, ks, st)
+            self.time_control.observe_search((clock() - t0) * 1000.0,
+                                             int(res.visits[0]))
+            return res, work
+
+        choices = tuple(n for n in (16, 32, 64, 128, 256, 512)
+                        if n <= nmax) or (nmax,)
+        slice_n = choices[0]
+        t_start = clock()
+        total_visits = 0
+        res = work = None
+        # Hard cap so a mis-estimated ms/visit can't loop unboundedly:
+        # the reference's budget maps to <= budget/ms_per_visit visits.
+        max_slices = max(1, (8 * nmax) // max(slice_n, 1))
+        for _ in range(max_slices):
+            t0 = clock()
+            res, work = self._run_search(slice_n, ks, st)
+            v = int(res.visits[0])
+            total_visits += v
+            self.time_control.observe_search((clock() - t0) * 1000.0, v)
+            self.key, ks = jax.random.split(self.key)
+            elapsed_ms = (clock() - t_start) * 1000.0
+            est_next = self.time_control.ms_per_visit * slice_n
+            if elapsed_ms + est_next > budget_ms:
+                break
+            # Accumulate this slice into the carried tree so the next
+            # slice (and the final result) builds on all visits so far.
+            self._tree = self._compact_root(work, self._cap)
+        return res, work
 
     def cmd_time_settings(self, main_s="0", byo_s="0", byo_stones="0"):
         self.time_control.set_time_settings(int(main_s), int(byo_s),
