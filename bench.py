@@ -57,7 +57,7 @@ def main():
         selfplay_step_tiered,
     )
 
-    B = 1024
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
     cfg = SelfplayConfig(batch_size=B)
     # Grouped visits (SearchParams.visit_group): the production default.
     g = int(os.environ.get("BENCH_VISIT_GROUP", "4"))

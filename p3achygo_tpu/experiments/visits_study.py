@@ -72,7 +72,9 @@ def compute_kld(target: np.ndarray, prior: np.ndarray) -> np.ndarray:
     term = np.where(target > 0.0,
                     target * np.log(np.maximum(target, eps)
                                     / (prior + eps)), 0.0)
-    return term.sum(axis=-1)
+    # KLD >= 0 by definition; float error (bf16-stored priors) can leave
+    # a ~1e-8 negative residue when target == prior.
+    return np.maximum(term.sum(axis=-1), 0.0)
 
 
 def _stats(vals: np.ndarray) -> Dict[str, float]:

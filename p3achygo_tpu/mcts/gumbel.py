@@ -418,7 +418,9 @@ def _init_nodes(tree: Tree, node: jnp.ndarray, ev: EvalOutput,
            else jnp.zeros_like(ev.outcome_value))
     return tree._replace(
         log_priors=tree.log_priors.at[b, node].set(
-            jnp.where(active[:, None], ev.log_priors, tree.log_priors[b, node])),
+            jnp.where(active[:, None],
+                      ev.log_priors.astype(tree.log_priors.dtype),
+                      tree.log_priors[b, node])),
         init_err=tree.init_err.at[b, node].set(
             sel(err, tree.init_err[b, node])),
         init_outcome=tree.init_outcome.at[b, node].set(
@@ -648,7 +650,8 @@ def root_pre_stats(tree: Tree, c_visit: float = 50.0,
     qz_pre = jnp.where(n_pre > 0, tree.w_outcome[:, 0] / nf, 0.0)
     var_pre = jnp.where(n_pre >= 3, tree.vz_var_sum[:, 0] / nf, 0.0)
     pi_pre, _, _ = _improved_policy_flat(tree, root, c_visit, c_scale)
-    priors = jax.nn.softmax(tree.log_priors[:, 0, :], axis=-1)
+    priors = jax.nn.softmax(
+        tree.log_priors[:, 0, :].astype(jnp.float32), axis=-1)
     eps = 1e-10
     kld = jnp.sum(
         jnp.where(pi_pre > 0,
@@ -783,7 +786,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         s_hash=tree.s_hash.at[:, 0].set(states.hash),
         s_legal=tree.s_legal.at[:, 0].set(legal_plain),
     )
-    root_log_priors = tree.log_priors[:, 0, :]
+    root_log_priors = tree.log_priors[:, 0, :].astype(jnp.float32)
     masked_logp = jnp.where(legal0, root_log_priors, _BIG_NEG)
     key, knoise = jax.random.split(key)
     gnoise = params.noise_scale * jax.random.gumbel(knoise, (B, NUM_MOVES))
@@ -1127,7 +1130,9 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
         ln_routed = jnp.where(allocated, leaf_node, spare)
         tree = tree._replace(
             children=tree.children.at[bw, wp, wa].set(
-                jnp.where(link, leaf_node, tree.children[bw, wp, wa])),
+                jnp.where(link, leaf_node,
+                          tree.children[bw, wp, wa].astype(jnp.int32))
+                .astype(tree.children.dtype)),
             # Shared nodes keep their first allocation parent (compaction
             # reachability is a tree over first-parents).
             parent=tree.parent.at[bw, ln_routed].set(
@@ -1374,7 +1379,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             vz_var_sum=tree.vz_var_sum + d_varz,
             v_m3_sum=tree.v_m3_sum + d_m3,
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
-            edge_n=tree.edge_n + e_n.astype(jnp.int32),
+            edge_n=tree.edge_n + e_n.astype(tree.edge_n.dtype),
             edge_w=tree.edge_w + e_w,
             edge_wz=tree.edge_wz + e_wz,
         )

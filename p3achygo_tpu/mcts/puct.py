@@ -93,7 +93,7 @@ def _puct_action(tree: Tree, node: jnp.ndarray, legal: jnp.ndarray,
                  bidx: jnp.ndarray) -> jnp.ndarray:
     """Vectorized PuctScorer::ComputeScores + TopMove."""
     b = bidx
-    probs = jnp.exp(tree.log_priors[b, node])  # [W, 362]
+    probs = jnp.exp(tree.log_priors[b, node].astype(jnp.float32))  # [W, 362]
     q = q_of_children(tree, node, b)
     nvis = child_visits(tree, node, b)
     visited = nvis > 0
@@ -296,7 +296,9 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
         ln_routed = jnp.where(allocated, leaf_node, spare)
         tree = tree._replace(
             children=tree.children.at[b, wp, wa].set(
-                jnp.where(allocated, leaf_node, tree.children[b, wp, wa])),
+                jnp.where(allocated, leaf_node,
+                          tree.children[b, wp, wa].astype(jnp.int32))
+                .astype(tree.children.dtype)),
             parent=tree.parent.at[b, ln_routed].set(
                 jnp.where(allocated, alloc_parent, tree.parent[b, ln_routed])),
             parent_action=tree.parent_action.at[b, ln_routed].set(
@@ -460,7 +462,7 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
             vz_var_sum=tree.vz_var_sum + acc(dvar_z, nlf),
             v_m3_sum=tree.v_m3_sum + acc(dm3, nlf),
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
-            edge_n=tree.edge_n + edge(onp, onp).astype(jnp.int32),
+            edge_n=tree.edge_n + edge(onp, onp).astype(tree.edge_n.dtype),
             edge_w=tree.edge_w + edge(add_w, onp),
             edge_wz=tree.edge_wz + edge(add_wz, onp),
         )

@@ -39,6 +39,13 @@ class Tree(NamedTuple):
     gather (which lowers to a scalar loop, ~12 ms per [4096, 362] gather).
     """
 
+    # HBM-dtype notes: the [B, N, 362] arrays dominate sweep traffic
+    # (every _sweep_action_table pass streams them), so `children` and
+    # `edge_n` are int16 (node indices < 32k, per-edge visits < 32k even
+    # at the GTP ponder cap) and `log_priors` is bf16 (log-softmax in
+    # [-40, 0]; consumers upcast to f32 before arithmetic). Scatter writes
+    # must cast values to the field dtype explicitly.
+
     n: jnp.ndarray  # int32[B, N] visit count
     w: jnp.ndarray  # f32[B, N] summed utility (own perspective)
     w_outcome: jnp.ndarray  # f32[B, N] summed outcome value
@@ -56,9 +63,9 @@ class Tree(NamedTuple):
     init_outcome: jnp.ndarray  # f32[B, N]
     init_score: jnp.ndarray  # f32[B, N]
     init_err: jnp.ndarray  # f32[B, N] NN uncertainty sqrt(err2), tree.h:55
-    log_priors: jnp.ndarray  # f32[B, N, 362] log-softmax of NN policy
-    children: jnp.ndarray  # int32[B, N, 362] node index or -1
-    edge_n: jnp.ndarray  # int32[B, N, 362] per-edge visit count
+    log_priors: jnp.ndarray  # bf16[B, N, 362] log-softmax of NN policy
+    children: jnp.ndarray  # int16[B, N, 362] node index or -1
+    edge_n: jnp.ndarray  # int16[B, N, 362] per-edge visit count
     edge_w: jnp.ndarray  # f32[B, N, 362] per-edge summed child utility
     edge_wz: jnp.ndarray  # f32[B, N, 362] per-edge summed child outcome
     color: jnp.ndarray  # int8[B, N] player to move at node
@@ -103,9 +110,9 @@ def make_tree(batch_size: int, max_nodes: int) -> Tree:
         init_outcome=jnp.zeros((B, N), jnp.float32),
         init_score=jnp.zeros((B, N), jnp.float32),
         init_err=jnp.zeros((B, N), jnp.float32),
-        log_priors=jnp.zeros((B, N, NUM_MOVES), jnp.float32),
-        children=jnp.full((B, N, NUM_MOVES), NO_CHILD, jnp.int32),
-        edge_n=jnp.zeros((B, N, NUM_MOVES), jnp.int32),
+        log_priors=jnp.zeros((B, N, NUM_MOVES), jnp.bfloat16),
+        children=jnp.full((B, N, NUM_MOVES), NO_CHILD, jnp.int16),
+        edge_n=jnp.zeros((B, N, NUM_MOVES), jnp.int16),
         edge_w=jnp.zeros((B, N, NUM_MOVES), jnp.float32),
         edge_wz=jnp.zeros((B, N, NUM_MOVES), jnp.float32),
         color=jnp.zeros((B, N), jnp.int8),
@@ -415,7 +422,8 @@ def _compact(tree: Tree, new_root: jnp.ndarray, capacity: int) -> Tree:
                         preferred_element_type=jnp.float32)
     vals = jnp.einsum("brp,bra->bpa", oh_p * r_ids, oh_a,
                       preferred_element_type=jnp.float32)
-    children_new = jnp.where(counts > 0, vals, -1.0).astype(jnp.int32)
+    children_new = jnp.where(counts > 0, vals, -1.0).astype(
+        tree.children.dtype)
 
     out = make_tree(B, capacity)
     out = out._replace(
