@@ -179,7 +179,8 @@ class GumbelResult(NamedTuple):
 
 def make_eval_fn(model, variables, symmetrize: bool = True,
                  include_ladders: bool = False,
-                 p_opt_weight: float = 0.0) -> EvalFn:
+                 p_opt_weight: float = 0.0,
+                 use_fused_trunk: Optional[bool] = None) -> EvalFn:
     """NN eval adapter: featurize states, run the model, reduce outputs.
 
     With `symmetrize`, each query is evaluated under a D4 symmetry picked
@@ -196,6 +197,23 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
     """
     score_values = (jnp.arange(NUM_SCORE_LOGITS, dtype=jnp.float32)
                     - SCORE_INFLECTION_POINT + 0.5)
+
+    # Optional serving path: swap the trunk for the fused Pallas kernel
+    # (p3achygo_tpu/nn/trunk_kernel.py — the reference's TRT-engine
+    # counterpart, trt_engine.cc). MEASURED SLOWER at HEAD
+    # (benchmarks/bench_trunk_kernel.py: 636 ms vs 325 ms flax at
+    # W=15360 — Mosaic relayouts for the 9 unaligned row shifts per 3x3
+    # conv dominate), so default OFF until the shift scheme is reworked;
+    # kept as an opt-in engine with parity locked by
+    # tests/test_trunk_kernel.py.
+    trunk_fn = None
+    if use_fused_trunk is None:
+        use_fused_trunk = False
+    if use_fused_trunk and getattr(model, "config", None) is not None:
+        from p3achygo_tpu.nn import build_trunk_fn, trunk_supported
+
+        if trunk_supported(model.config):
+            trunk_fn = build_trunk_fn(model.config, variables)
 
     # Module-level imports (top of file): importing these INSIDE a traced
     # function would stage their module-level constant tables onto the
@@ -225,7 +243,8 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
             )
             sym_oh = jax.nn.one_hot(sym, NUM_SYMMETRIES)  # [B, 8]
         planes, scalars = batched_features(states, include_ladders)
-        out = model.apply(variables, planes, scalars, train=False)
+        out = model.apply(variables, planes, scalars, train=False,
+                          trunk_fn=trunk_fn)
         pi_logits = out.pi_logits
         if p_opt_weight > 0.0:
             # Blend in probability space (the reference blends probs, not

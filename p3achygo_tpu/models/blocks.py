@@ -18,7 +18,22 @@ Dtype = Any
 
 
 def mish(x):
-    return x * jnp.tanh(nn.softplus(x))
+    """mish(x) = x * tanh(softplus(x)), computed with ONE transcendental.
+
+    tanh(log(1 + e^x)) = ((1+e^x)^2 - 1) / ((1+e^x)^2 + 1); with
+    t = e^{-|x|} (never overflows) the ratio is
+        x >= 0:  (1 + 2t) / (1 + 2t + 2t^2)      (divide through by e^2x)
+        x <  0:  (t^2 + 2t) / (t^2 + 2t + 2)
+    Same math as x * tanh(softplus(x)) to float precision, but one exp
+    instead of exp+log1p+tanh — the trunk evaluates mish on ~17B elements
+    per search sweep batch, and transcendentals dominate the model's
+    non-conv time (benchmarks/trace_model.py: 132 ms multiply_convert at
+    W=15360 before this change).
+    """
+    t = jnp.exp(-jnp.abs(x))
+    pos = (1.0 + 2.0 * t) / (1.0 + 2.0 * t + 2.0 * t * t)
+    neg = (t * t + 2.0 * t) / (t * t + 2.0 * t + 2.0)
+    return x * jnp.where(x >= 0, pos, neg)
 
 
 class ConvBlock(nn.Module):

@@ -69,7 +69,11 @@ class P3achyGoModel(nn.Module):
 
     @nn.compact
     def __call__(self, board_state, game_state, train: bool = False,
-                 scores=None) -> ModelOutputs:
+                 scores=None, trunk_fn=None) -> ModelOutputs:
+        # `trunk_fn` swaps the residual trunk for the fused Pallas serving
+        # kernel (p3achygo_tpu/nn/trunk_kernel.py — the TRT-engine
+        # counterpart): stem + heads stay flax so the param tree and the
+        # training graph are unchanged. Inference-only (no gradients).
         cfg = self.config
         board_state = board_state.astype(self.dtype)
         game_state = game_state.astype(self.dtype)
@@ -81,7 +85,9 @@ class P3achyGoModel(nn.Module):
                                name="init_game_layer")(game_state)
         x = x + game_biases[:, None, None, :]
 
-        if cfg.is_transformer:
+        if trunk_fn is not None:
+            x = trunk_fn(x).astype(self.dtype)
+        elif cfg.is_transformer:
             x = nn.Dense(cfg.embed_dim, dtype=self.dtype, name="embed")(x)
             x = PositionalEmbedding(self.dtype, name="pos_embed")(x)
             for i in range(cfg.blocks):

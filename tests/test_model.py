@@ -153,3 +153,20 @@ def test_validation_metrics():
                 "score_mae", "own_mae"):
         assert key in out and np.isfinite(out[key])
     assert 0.0 <= out["policy_acc"] <= out["policy_acc_top5"] <= 1.0
+
+
+def test_mish_matches_reference_formula():
+    """The 1-exp mish must equal x*tanh(softplus(x)) to float precision
+    across the numeric range (incl. large |x| where naive exp overflows)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from p3achygo_tpu.models.blocks import mish
+
+    x = jnp.asarray(np.concatenate([
+        np.linspace(-80, 80, 4001),
+        np.array([-1e4, -100.0, -0.0, 0.0, 100.0, 1e4])]), jnp.float32)
+    ref = x * jnp.tanh(jnp.logaddexp(x, 0.0))
+    got = mish(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+    assert np.all(np.isfinite(np.asarray(got)))
