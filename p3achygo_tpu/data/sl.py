@@ -134,3 +134,95 @@ def build_sl_replay(sgf_dir: str, replay, limit_games: Optional[int] = None
         if limit_games and count >= limit_games:
             break
     return count
+
+
+# ---------------------------------------------------------------------------
+# Multi-worker shard builder (Coordinator/Worker, cc/data/coordinator.h:11-48
+# + worker.cc): the reference's coordinator delegates SGF files to N worker
+# threads which emit TFRecord shards and report completions. TPU-native
+# mapping: a spawn-context process pool — each worker replays its file slice
+# through the (CPU) rules engine and writes `sl_shard_%04d_w%d.tfrecord.zz`
+# shards via the streaming native codec; the parent writes a `.done` marker
+# (the reference's partial-write convention, data/filename_format.h:14-15)
+# with the aggregate counts.
+# ---------------------------------------------------------------------------
+
+def _sl_worker_init():
+    # Workers must never grab the tunneled TPU chip (one-chip env).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PYTHONSTARTUP", None)
+
+
+def _sl_worker(args):
+    worker_id, files, out_dir, examples_per_shard = args
+    from p3achygo_tpu.data.export import examples_to_records
+    from p3achygo_tpu.data.tfrecord import write_records
+
+    shard, pending, shards = 0, [], []
+    games = examples = errors = 0
+
+    def flush():
+        nonlocal shard, pending
+        if not pending:
+            return
+        name = f"sl_shard_{shard:04d}_w{worker_id}.tfrecord.zz"
+        write_records(os.path.join(out_dir, name), pending, zlib_level=6)
+        shards.append(name)
+        shard += 1
+        pending = []
+
+    for path in files:
+        try:
+            with open(path) as f:
+                ex = sgf_to_examples(f.read())
+        except (ValueError, IndexError, OSError):
+            errors += 1
+            continue
+        if ex is None:
+            errors += 1
+            continue
+        recs = examples_to_records(ex)
+        games += 1
+        examples += len(recs)
+        pending.extend(recs)
+        if len(pending) >= examples_per_shard:
+            flush()
+    flush()
+    return dict(worker=worker_id, games=games, examples=examples,
+                errors=errors, shards=shards)
+
+
+def build_sl_shards(sgf_dir: str, out_dir: str, num_workers: int = 4,
+                    examples_per_shard: int = 4096) -> dict:
+    """Fan SGF->example work over `num_workers` processes; write TFRecord
+    shards + a `.done` marker. Returns the aggregate report."""
+    import json
+    import multiprocessing as mp
+
+    files = []
+    for dirpath, _, names in os.walk(sgf_dir):
+        files.extend(os.path.join(dirpath, n) for n in sorted(names)
+                     if n.endswith(".sgf"))
+    os.makedirs(out_dir, exist_ok=True)
+    slices = [files[i::num_workers] for i in range(num_workers)]
+    work = [(i, s, out_dir, examples_per_shard)
+            for i, s in enumerate(slices) if s]
+    if not work:
+        reports = []
+    elif len(work) == 1:
+        reports = [_sl_worker(work[0])]
+    else:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(len(work), initializer=_sl_worker_init) as pool:
+            reports = pool.map(_sl_worker, work)
+    agg = dict(
+        files=len(files),
+        games=sum(r["games"] for r in reports),
+        examples=sum(r["examples"] for r in reports),
+        errors=sum(r["errors"] for r in reports),
+        shards=sorted(n for r in reports for n in r["shards"]),
+        workers=len(work),
+    )
+    with open(os.path.join(out_dir, "sl_shards.done"), "w") as f:
+        json.dump(agg, f)
+    return agg

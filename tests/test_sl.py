@@ -60,3 +60,36 @@ def test_build_sl_replay_and_train_batch():
         batch = replay.sample(8)
         assert batch["pi"].shape == (8, 362)
         np.testing.assert_allclose(batch["pi"].sum(-1), 1.0)
+
+
+def test_build_sl_shards_multiworker():
+    """Coordinator/worker shard builder (cc/data/coordinator.h:11-48):
+    2 spawn-context workers over a small SGF corpus; shards + .done
+    marker written; every example readable back through the codec."""
+    import json
+
+    from p3achygo_tpu.data.sl import build_sl_shards
+    from p3achygo_tpu.data.tfrecord import read_records
+
+    with tempfile.TemporaryDirectory() as d:
+        sgf_dir = os.path.join(d, "sgfs")
+        out_dir = os.path.join(d, "out")
+        os.makedirs(sgf_dir)
+        for i in range(5):
+            with open(os.path.join(sgf_dir, f"g{i}.sgf"), "w") as f:
+                f.write(_make_sgf(result="B+7.5" if i % 2 else "W+2.5"))
+        with open(os.path.join(sgf_dir, "bad.sgf"), "w") as f:
+            f.write("(;GM[1]")  # unusable
+
+        rep = build_sl_shards(sgf_dir, out_dir, num_workers=2,
+                              examples_per_shard=12)
+        assert rep["files"] == 6 and rep["games"] == 5
+        assert rep["examples"] == 40  # 5 games x 8 moves
+        assert rep["errors"] == 1 and rep["workers"] == 2
+        assert rep["shards"]
+        done = json.load(open(os.path.join(out_dir, "sl_shards.done")))
+        assert done["examples"] == 40
+        total = 0
+        for name in rep["shards"]:
+            total += len(list(read_records(os.path.join(out_dir, name))))
+        assert total == 40
