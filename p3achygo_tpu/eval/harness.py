@@ -47,8 +47,13 @@ class EvalConfig:
     komi: float = 7.5
     max_game_len: int = MAX_GAME_LEN
     resign_threshold: float = -0.92
+    # noise_scale 1.0 = reference gumbel semantics (root Gumbel noise is
+    # part of the algorithm, gumbel.cc:287-306) AND the source of
+    # per-game diversity: with noise 0 and tau 0 every game of a color
+    # half is IDENTICAL, so a 2N-game match measures only 2 distinct
+    # games (winrates collapse to {0, .5, 1} — the round-3 gating bug).
     search: SearchParams = dataclasses.field(
-        default_factory=lambda: SearchParams(n=32, k=4, noise_scale=0.0,
+        default_factory=lambda: SearchParams(n=32, k=4, noise_scale=1.0,
                                              tau=0.0))
     # Per-player overrides (player_config.h); None -> gumbel with `search`.
     cand: Optional[PlayerSearchConfig] = None

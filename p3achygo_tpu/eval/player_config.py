@@ -20,7 +20,9 @@ class PlayerSearchConfig:
     n: int = 128
     k: int = 8
     tau: float = 0.0
-    noise_scale: float = 0.0
+    # 1.0 = reference gumbel root noise; also the per-game diversity
+    # source in matches (see EvalConfig.search note).
+    noise_scale: float = 1.0
     score_weight: float = 0.5
     # MCGS graph search (use_mcgs, player_config.h + node_table.h:78-120).
     use_mcgs: bool = False

@@ -564,7 +564,7 @@ class GenerationLoop:
                 num_games=self.cfg.eval_games,
                 max_game_len=self.cfg.eval_max_game_len,
                 search=SearchParams(n=n_e, k=self.cfg.eval_k,
-                                    noise_scale=0.0, tau=0.0))
+                                    noise_scale=1.0, tau=0.0))
             self._eval_runner = EvalRunner(self.model, ev_cfg)
             self._eval_n = n_e
         self.key, ke = jax.random.split(self.key)

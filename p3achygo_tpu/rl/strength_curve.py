@@ -37,7 +37,7 @@ def anchor_match(model, cfg, cand_vars, cur_vars, num_games: int,
                         search=__import__(
                             "p3achygo_tpu.mcts.gumbel",
                             fromlist=["SearchParams"]).SearchParams(
-                            n=n, k=k, noise_scale=0.0, tau=0.0))
+                            n=n, k=k, noise_scale=1.0, tau=0.0))
     runner = EvalRunner(model, ev_cfg)
     return runner.run(jax.random.PRNGKey(seed), cand_vars, cur_vars)
 

@@ -141,3 +141,35 @@ tau: 0.5
     assert pp.root_selection == "lcb" and pp.n == 64
     sp = cfg.to_search_params()
     assert sp.tau == 0.5
+
+
+def test_eval_games_differ_within_color_half():
+    """Round-3 gating bug regression: match games must differ from each
+    other. Root Gumbel noise (noise_scale=1.0, the reference semantics)
+    is drawn per board, so identical positions in one eval batch search
+    differently; with noise 0 + tau 0 every game of a half is identical
+    and a 2N-game match measures only 2 games."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p3achygo_tpu.eval.harness import EvalConfig
+    from p3achygo_tpu.game import new_state
+    from p3achygo_tpu.mcts.gumbel import (SearchParams, search_root,
+                                          uniform_eval_fn)
+
+    # The default eval config keeps noise ON.
+    assert EvalConfig().search.noise_scale == 1.0
+
+    states = jax.vmap(lambda _: new_state())(jnp.arange(6))
+    key = jax.random.PRNGKey(0)
+    res_n = search_root(key, states, uniform_eval_fn,
+                        SearchParams(n=8, k=4, noise_scale=1.0, tau=0.0,
+                                     max_depth=6))
+    moves = np.asarray(res_n.mcts_move)
+    assert len(set(moves.tolist())) > 1, \
+        "identical positions must search differently under root noise"
+    res_0 = search_root(key, states, uniform_eval_fn,
+                        SearchParams(n=8, k=4, noise_scale=0.0, tau=0.0,
+                                     max_depth=6))
+    assert len(set(np.asarray(res_0.mcts_move).tolist())) == 1
