@@ -116,7 +116,27 @@ def test_time_control_budget_math():
     assert tc2.pick_visits(50, (16, 32, 64)) == 16
 
 
+_TINY_CACHE = {}
+
+
 def _tiny_service(biased=False, **cfg_kwargs):
+    """Default-config services are CACHED across tests: every fresh
+    GtpService builds new jit closures, so each instance recompiles the
+    same B=1 search programs — the cumulative compile load segfaulted
+    XLA:CPU mid-suite (3x, always inside backend_compile_and_load around
+    the ~90th test). Tests reset state with clear_board."""
+    if not biased and not cfg_kwargs:
+        if "default" not in _TINY_CACHE:
+            _TINY_CACHE["default"] = _build_tiny_service(False)
+        svc = _TINY_CACHE["default"]
+        svc.handle("clear_board")
+        from p3achygo_tpu.gtp.time_control import TimeControl
+        svc.time_control = TimeControl()
+        return svc
+    return _build_tiny_service(biased, **cfg_kwargs)
+
+
+def _build_tiny_service(biased=False, **cfg_kwargs):
     from p3achygo_tpu.gtp.service import GtpConfig, GtpService
     import jax
     import jax.numpy as jnp
