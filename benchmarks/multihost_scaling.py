@@ -64,7 +64,8 @@ from p3achygo_tpu.data.replay import ReplayBuffer
 mesh = global_mesh(model_parallel=1)
 B = B_LOCAL * nproc
 RCAP = 16
-cfg = SelfplayConfig(batch_size=B, max_game_len=16)
+cfg = SelfplayConfig(batch_size=B, max_game_len=16,
+                     tier_groups=len(jax.devices()))
 p_sel = SearchParams(n=16, k=4, max_depth=12, visit_group=2)
 p_fast = SearchParams(n=8, k=2, max_depth=12, visit_group=2)
 model = build_model(get_config("tiny"), dtype=jnp.float32)

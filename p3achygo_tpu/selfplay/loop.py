@@ -69,6 +69,15 @@ class SelfplayConfig:
     # self_play_thread.h:47-49); the base multiplier itself is a traced
     # argument of selfplay_step (per-generation calibration).
     sel_mult_scale_factor: float = 1.0
+    # Independent tier-permutation groups. The per-step playout-cap draw
+    # permutes boards into selected/fast sub-batches; with 1 group the
+    # argsort spans the GLOBAL batch, which under multi-host data sharding
+    # all-gathers every board's state every ply (measured: the dominant
+    # scaling cost over slow interconnect, benchmarks/multihost_scaling).
+    # Set = number of data shards (hosts) to keep the permutation
+    # shard-local: each group draws its own B_sel/groups selected boards —
+    # same marginal tier distribution, zero cross-shard traffic.
+    tier_groups: int = 1
 
 
 class GameBuffer(NamedTuple):
@@ -382,14 +391,33 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     else (states, buf, aux, key).
     """
     B = states.stones.shape[0]
-    B_sel = min(max(int(round(B * cfg.trainable_move_prob)), 1), B - 1)
     key, kperm, ks1, ks2, kr1, kr2, ksel = jax.random.split(key, 7)
     # Random permutation, with force-full-search boards (restart first
     # moves, reuse_buffer.h kForceFullSearch) sorted into the selected
-    # subset ahead of the random draw.
+    # subset ahead of the random draw. With tier_groups > 1 the draw is
+    # INDEPENDENT PER GROUP and all gathers/scatters stay within a
+    # group's rows (axis-1 ops on a [G, B/G, ...] view): under multi-host
+    # data sharding with groups == shards, the tier permute is
+    # shard-local — a global argsort/take all-gathered every board's
+    # state every ply (see SelfplayConfig.tier_groups).
+    G = max(1, min(cfg.tier_groups, B))
+    assert B % G == 0, (B, G)
+    Bg = B // G
+    B_sel_g = min(max(int(round(Bg * cfg.trainable_move_prob)), 1), Bg - 1)
+    B_sel = B_sel_g * G
     rnd = jax.random.uniform(kperm, (B,))
-    perm = jnp.argsort(jnp.where(aux.force_sel, rnd - 2.0, rnd))
-    inv = jnp.argsort(perm)  # board b sits at lane inv[b] of the perm order
+    keys_g = jnp.where(aux.force_sel, rnd - 2.0, rnd).reshape(G, Bg)
+    perm_g = jnp.argsort(keys_g, axis=1)  # [G, Bg] group-local order
+    inv_g = jnp.argsort(perm_g, axis=1)  # board -> rank within its group
+
+    def take_grouped(x, idx_g):
+        """Rows of x [B, ...] at group-local positions idx_g [G, m]."""
+        m = idx_g.shape[1]
+        xg = x.reshape(G, Bg, *x.shape[1:])
+        idx = idx_g.reshape(G, m, *([1] * (x.ndim - 1)))
+        out = jnp.take_along_axis(xg, idx, axis=1)
+        return out.reshape(G * m, *x.shape[1:])
+
     tau = tau_schedule(states.move_count, cfg)
 
     from p3achygo_tpu.mcts.gumbel import root_pre_stats
@@ -401,8 +429,8 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     else:
         pre = _zero_pre_stats(B)
 
-    def run_tier(idx, params, ksearch, kraw):
-        take = lambda x: jnp.take(x, idx, axis=0)
+    def run_tier(idx_g, params, ksearch, kraw):
+        take = lambda x: take_grouped(x, idx_g)
         st = jax.tree_util.tree_map(take, states)
         use_bias = bias_table is not None and params.bias_lambda > 0
         bt = (jax.tree_util.tree_map(take, bias_table)
@@ -429,13 +457,22 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
             nn_q, nn_unc = take(pre.nn_q), take(pre.nn_uncertainty)
         return (res, move, sampling_raw, over, nn_q, nn_unc), ntree, bt
 
-    out_sel, tree_sel, bias_sel = run_tier(perm[:B_sel], params_sel, ks1, kr1)
-    out_fast, tree_fast, bias_fast = run_tier(perm[B_sel:], params_fast,
-                                              ks2, kr2)
+    out_sel, tree_sel, bias_sel = run_tier(perm_g[:, :B_sel_g], params_sel,
+                                           ks1, kr1)
+    out_fast, tree_fast, bias_fast = run_tier(perm_g[:, B_sel_g:],
+                                              params_fast, ks2, kr2)
 
-    # Scatter sub-batch results back to original board order.
-    unperm = lambda a, b_: jnp.take(jnp.concatenate([a, b_], axis=0), inv,
-                                    axis=0)
+    # Scatter sub-batch results back to original board order: regroup each
+    # tier's rows to [G, m, ...], concat within the group (matching the
+    # perm_g order), then invert group-locally.
+    def unperm(a, b_):
+        ag = a.reshape(G, B_sel_g, *a.shape[1:])
+        bg = b_.reshape(G, Bg - B_sel_g, *b_.shape[1:])
+        merged = jnp.concatenate([ag, bg], axis=1)  # [G, Bg, ...]
+        idx = inv_g.reshape(G, Bg, *([1] * (a.ndim - 1)))
+        out = jnp.take_along_axis(merged, idx, axis=1)
+        return out.reshape(G * Bg, *a.shape[1:])
+
     (res, move, sampling_raw, over, nn_q_root, nn_unc_root) = \
         jax.tree_util.tree_map(unperm, out_sel, out_fast)
     next_tree = (jax.tree_util.tree_map(unperm, tree_sel, tree_fast)
@@ -443,7 +480,7 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     next_bias = (jax.tree_util.tree_map(unperm, bias_sel, bias_fast)
                  if bias_sel is not None else None)
 
-    is_sel = inv < B_sel
+    is_sel = (inv_g < B_sel_g).reshape(-1)
     keep_prob, sel_modifier, sel_mult, down_bad_count = _selection_state(
         res, pre, aux, sampling_raw, cfg, calib, sel_mult_base)
     # Forced first moves are trainable regardless of the tier coin

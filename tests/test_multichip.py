@@ -89,3 +89,44 @@ def test_sharded_selfplay_step():
     assert len(states.stones.sharding.device_set) == 8
     mc = np.asarray(states.move_count)
     assert (mc == 2).all()
+
+
+def test_tiered_selfplay_grouped_tiers_sharded():
+    """tier_groups == data shards keeps the per-step tier permutation
+    shard-local (no all-gather of board state; see SelfplayConfig). The
+    grouped step must run SPMD and draw exactly B_sel/G selected boards
+    per group."""
+    import jax.numpy as jnp
+
+    from p3achygo_tpu.game import new_state
+    from p3achygo_tpu.mcts.gumbel import SearchParams, uniform_eval_fn
+    from p3achygo_tpu.selfplay.loop import (SelfplayConfig, make_aux,
+                                            make_game_buffer,
+                                            selfplay_step_tiered)
+
+    B, G = 32, 8
+    mesh = make_mesh(8, model_parallel=1)
+    cfg = SelfplayConfig(batch_size=B, max_game_len=20, tree_reuse=False,
+                         trainable_move_prob=0.25, tier_groups=G)
+    p_sel = SearchParams(n=4, k=2, max_depth=4)
+    p_fast = SearchParams(n=2, k=2, max_depth=4)
+    key = jax.random.PRNGKey(0)
+    key, kaux = jax.random.split(key)
+    states = jax.vmap(lambda _: new_state())(jnp.arange(B))
+    buf = make_game_buffer(B, cfg.max_game_len)
+    aux = make_aux(kaux, B, 0)
+
+    with mesh:
+        states = shard_batch(states, mesh)
+        buf = shard_batch(buf, mesh)
+        aux = shard_batch(aux, mesh)
+
+        @jax.jit
+        def sp(states, buf, aux, key):
+            return selfplay_step_tiered(states, buf, aux, key,
+                                        uniform_eval_fn, p_sel, p_fast, cfg)
+
+        states, buf, aux, key = sp(states, buf, aux, key)
+    assert len(states.stones.sharding.device_set) == 8
+    mc = np.asarray(states.move_count)
+    assert (mc == 1).all()
