@@ -199,7 +199,23 @@ struct TfrecReader {
       zs.next_out = out;
       zs.avail_out = sizeof(out);
       int rc = inflate(&zs, Z_NO_FLUSH);
-      if (rc != Z_OK && rc != Z_STREAM_END && rc != Z_BUF_ERROR) return false;
+      if (rc != Z_OK && rc != Z_STREAM_END && rc != Z_BUF_ERROR) {
+        // Header looked like zlib but the stream isn't: a raw-framed file
+        // whose first record length bytes happen to form a valid zlib
+        // header (e.g. len 0x9C78) lands here on the FIRST inflate, before
+        // any output. Rewind and reparse as raw framing (pre-streaming
+        // behavior). A genuine mid-stream corruption (output already
+        // produced) still reports an error.
+        if (zs.total_out == 0 && data.empty()) {
+          inflateEnd(&zs);
+          zlib = false;
+          if (std::fseek(f, 0, SEEK_SET) != 0) return false;
+          in_pos = in_len = 0;
+          in_eof = false;
+          continue;
+        }
+        return false;
+      }
       in_pos = in_len - zs.avail_in;
       data.append(reinterpret_cast<char*>(out), sizeof(out) - zs.avail_out);
       if (rc == Z_STREAM_END) stream_end = true;

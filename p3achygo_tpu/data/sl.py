@@ -212,9 +212,25 @@ def build_sl_shards(sgf_dir: str, out_dir: str, num_workers: int = 4,
     elif len(work) == 1:
         reports = [_sl_worker(work[0])]
     else:
-        ctx = mp.get_context("spawn")
-        with ctx.Pool(len(work), initializer=_sl_worker_init) as pool:
-            reports = pool.map(_sl_worker, work)
+        # Force CPU in the parent env BEFORE spawning: spawn workers import
+        # this module (and its game/board jnp tables) to unpickle the worker
+        # fn, which initializes the JAX backend before the Pool initializer
+        # runs — with the axon sitecustomize that would grab the single
+        # tunneled TPU chip in every worker (two TPU processes hang each
+        # other). Children inherit the environment at exec, so setting it
+        # here covers module-import time; _sl_worker_init stays as
+        # belt-and-suspenders.
+        prev = os.environ.get("JAX_PLATFORMS")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            ctx = mp.get_context("spawn")
+            with ctx.Pool(len(work), initializer=_sl_worker_init) as pool:
+                reports = pool.map(_sl_worker, work)
+        finally:
+            if prev is None:
+                os.environ.pop("JAX_PLATFORMS", None)
+            else:
+                os.environ["JAX_PLATFORMS"] = prev
     agg = dict(
         files=len(files),
         games=sum(r["games"] for r in reports),

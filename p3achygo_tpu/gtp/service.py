@@ -309,22 +309,27 @@ class GtpService:
 
         choices = tuple(n for n in (16, 32, 64, 128, 256, 512)
                         if n <= nmax) or (nmax,)
-        slice_n = choices[0]
         t_start = clock()
-        total_visits = 0
         res = work = None
         # Hard cap so a mis-estimated ms/visit can't loop unboundedly:
         # the reference's budget maps to <= budget/ms_per_visit visits.
-        max_slices = max(1, (8 * nmax) // max(slice_n, 1))
+        max_slices = max(1, (8 * nmax) // max(choices[0], 1))
         for _ in range(max_slices):
+            # Size each slice to the REMAINING budget: a generous byoyomi
+            # period runs one deep (near-nmax) sequential-halving search
+            # like the reference's timer-aborted full search, not a chain
+            # of shallow 16-visit restarts; a nearly-spent budget drops to
+            # the smallest precompiled slice.
+            remaining = budget_ms - (clock() - t_start) * 1000.0
+            slice_n = self.time_control.pick_visits(
+                max(int(remaining), 1), choices=choices, default=choices[0])
             t0 = clock()
             res, work = self._run_search(slice_n, ks, st)
             v = int(res.visits[0])
-            total_visits += v
             self.time_control.observe_search((clock() - t0) * 1000.0, v)
             self.key, ks = jax.random.split(self.key)
             elapsed_ms = (clock() - t_start) * 1000.0
-            est_next = self.time_control.ms_per_visit * slice_n
+            est_next = self.time_control.ms_per_visit * choices[0]
             if elapsed_ms + est_next > budget_ms:
                 break
             # Accumulate this slice into the carried tree so the next

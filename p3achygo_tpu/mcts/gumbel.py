@@ -73,6 +73,7 @@ from p3achygo_tpu.mcts.tree import (
     mcgs_insert,
     mcgs_meta,
     mcgs_probe,
+    saturating_edge_add,
     welford_m3_delta,
     q_nvis_of_children,
     q_of_children,
@@ -1398,7 +1399,7 @@ def search_root(key: jax.Array, states: GoState, eval_fn: EvalFn,
             vz_var_sum=tree.vz_var_sum + d_varz,
             v_m3_sum=tree.v_m3_sum + d_m3,
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
-            edge_n=tree.edge_n + e_n.astype(tree.edge_n.dtype),
+            edge_n=saturating_edge_add(tree.edge_n, e_n),
             edge_w=tree.edge_w + e_w,
             edge_wz=tree.edge_wz + e_wz,
         )

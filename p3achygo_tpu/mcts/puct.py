@@ -46,6 +46,7 @@ from p3achygo_tpu.mcts.tree import (
     child_visits,
     make_tree,
     q_of_children,
+    saturating_edge_add,
     welford_m3_delta,
 )
 from p3achygo_tpu.constants import BLACK
@@ -462,7 +463,7 @@ def search_root_puct(key: jax.Array, states: GoState, eval_fn: EvalFn,
             vz_var_sum=tree.vz_var_sum + acc(dvar_z, nlf),
             v_m3_sum=tree.v_m3_sum + acc(dm3, nlf),
             v_categorical=tree.v_categorical + cat_add.astype(jnp.int32),
-            edge_n=tree.edge_n + edge(onp, onp).astype(tree.edge_n.dtype),
+            edge_n=saturating_edge_add(tree.edge_n, edge(onp, onp)),
             edge_w=tree.edge_w + edge(add_w, onp),
             edge_wz=tree.edge_wz + edge(add_wz, onp),
         )

@@ -27,6 +27,22 @@ V_BUCKET_RANGE = 2.0 / NUM_V_BUCKETS
 
 NO_CHILD = jnp.int32(-1)
 
+# int16 edge_n saturation ceiling: backprop adds clamp here instead of
+# wrapping negative (cross-move tree reuse + GTP ponder slices can push a
+# hot PV edge past int16 range; a saturated count only flattens the visit
+# distribution's tail, a wrapped one corrupts Q and the improved policy).
+EDGE_N_MAX = 2**15 - 1
+
+
+def saturating_edge_add(edge_n: jnp.ndarray, inc: jnp.ndarray) -> jnp.ndarray:
+    """edge_n + inc clamped to EDGE_N_MAX, in the edge_n dtype.
+
+    The int32 intermediate fuses into the elementwise write (no extra HBM
+    pass); `inc` may be f32 (one-hot einsum output) or integer.
+    """
+    s = edge_n.astype(jnp.int32) + inc.astype(jnp.int32)
+    return jnp.minimum(s, EDGE_N_MAX).astype(edge_n.dtype)
+
 
 class Tree(NamedTuple):
     """Batched node arrays. B leading, N = max nodes.
@@ -98,6 +114,13 @@ class Tree(NamedTuple):
 
 def make_tree(batch_size: int, max_nodes: int) -> Tree:
     B, N = batch_size, max_nodes
+    # `children` holds int16 node indices and `edge_n` int16 visit counts:
+    # the shrink is only valid while indices fit (backprop saturates edge_n
+    # at EDGE_N_MAX, but a wrapped child index would corrupt the tree).
+    if max_nodes >= 2**15:
+        raise ValueError(
+            f"max_nodes={max_nodes} >= 2**15 would overflow int16 child "
+            "indices (mcts/tree.py dtype shrink)")
     return Tree(
         n=jnp.zeros((B, N), jnp.int32),
         w=jnp.zeros((B, N), jnp.float32),

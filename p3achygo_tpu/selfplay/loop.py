@@ -403,6 +403,14 @@ def selfplay_step_tiered(states: GoState, buf: GameBuffer, aux: SelfplayAux,
     G = max(1, min(cfg.tier_groups, B))
     assert B % G == 0, (B, G)
     Bg = B // G
+    # Each group needs >= 1 selected AND >= 1 fast row (Bg == 1 would make
+    # B_sel_g = min(>=1, 0) = 0: a zero-width selected search). Note also
+    # that force_sel boards can only be promoted within their own group's
+    # B_sel_g quota — with many groups, a burst of restarts in one group
+    # silently demotes the overflow to the fast tier (bounded by B_sel_g
+    # per group vs B_sel globally at G == 1).
+    assert Bg >= 2, (f"tier_groups={G} leaves {Bg} board(s) per group; "
+                     "need >= 2 (one per tier)")
     B_sel_g = min(max(int(round(Bg * cfg.trainable_move_prob)), 1), Bg - 1)
     B_sel = B_sel_g * G
     rnd = jax.random.uniform(kperm, (B,))
