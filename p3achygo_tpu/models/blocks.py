@@ -18,22 +18,26 @@ Dtype = Any
 
 
 def mish(x):
-    """mish(x) = x * tanh(softplus(x)), computed with ONE transcendental.
+    """mish(x) = x * tanh(softplus(x)), ONE transcendental and NO select.
 
-    tanh(log(1 + e^x)) = ((1+e^x)^2 - 1) / ((1+e^x)^2 + 1); with
-    t = e^{-|x|} (never overflows) the ratio is
-        x >= 0:  (1 + 2t) / (1 + 2t + 2t^2)      (divide through by e^2x)
-        x <  0:  (t^2 + 2t) / (t^2 + 2t + 2)
-    Same math as x * tanh(softplus(x)) to float precision, but one exp
-    instead of exp+log1p+tanh — the trunk evaluates mish on ~17B elements
-    per search sweep batch, and transcendentals dominate the model's
-    non-conv time (benchmarks/trace_model.py: 132 ms multiply_convert at
-    W=15360 before this change).
+    tanh(log(1 + e^x)) = ((1+e^x)^2 - 1) / ((1+e^x)^2 + 1)
+                       = (u^2 + 2u) / (u^2 + 2u + 2),  u = e^x.
+    Clamping the exponent input at 20 keeps u^2 finite (e^40 << f32 max)
+    and is exact: for x > 20 the ratio is 1 - 2e^-20 which rounds to 1.0f,
+    i.e. mish(x) == x there anyway. For x -> -inf, u -> 0 and the ratio
+    -> 0.
+
+    Why branch-free matters on TPU: the previous formulation selected
+    between two rational functions with `where(x >= 0, ...)` — XLA:TPU
+    split that select out of the conv fusions and BIT-PACKED the predicate
+    through standalone shift-left/reduce-or passes (u32[W,19,C] aux
+    tensors): 60 ms of the 324 ms model forward at W=15360 was predicate
+    packing alone (benchmarks/results.md round-4). A single rational in u
+    fuses entirely into the convolution's input fusion.
     """
-    t = jnp.exp(-jnp.abs(x))
-    pos = (1.0 + 2.0 * t) / (1.0 + 2.0 * t + 2.0 * t * t)
-    neg = (t * t + 2.0 * t) / (t * t + 2.0 * t + 2.0)
-    return x * jnp.where(x >= 0, pos, neg)
+    u = jnp.exp(jnp.minimum(x, 20.0))
+    n = u * u + 2.0 * u
+    return x * n / (n + 2.0)
 
 
 class ConvBlock(nn.Module):
@@ -116,20 +120,43 @@ class NbtResidualBlock(nn.Module):
         return res + x
 
 
-class Broadcast(nn.Module):
-    """Per-channel global mix: dense over the flattened 361 spatial dims
-    (model.py:509-581 BroadcastPreAct: act -> flatten -> dense -> expand)."""
+class _SpatialDense(nn.Module):
+    """Dense over the flattened spatial dims, shared across channels,
+    expressed as ONE 4D dot_general with no reshape/transpose of the
+    activations. Param tree matches nn.Dense ('kernel' [361,361], 'bias'
+    [361]; lecun_normal fan-in = 361 either way) so checkpoints carry
+    over."""
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (h * w, h * w))
+        bias = self.param("bias", nn.initializers.zeros, (h * w,))
+        k4 = kernel.astype(self.dtype).reshape(h, w, h, w)
+        y = jnp.einsum("bhwc,hwkl->bklc", x, k4)
+        return y + bias.astype(self.dtype).reshape(1, h, w, 1)
+
+
+class Broadcast(nn.Module):
+    """Per-channel global mix: dense over the flattened 361 spatial dims
+    (model.py:509-581 BroadcastPreAct: act -> flatten -> dense -> expand).
+
+    TPU shape: the reference transposes NHWC -> NC(HW), Denses over HW and
+    transposes back; on TPU that chain materialized two [15360,128,19,19]
+    copies per block (32 ms of the 324 ms model forward at W=15360,
+    benchmarks/results.md round-4). Contracting (h, w) directly in one 4D
+    dot_general needs no data movement at all — XLA folds the spatial
+    contraction into the matmul's dimension numbers."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
         x = mish(x)
-        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, c, h * w)
-        x = nn.Dense(h * w, dtype=self.dtype)(x)
-        x = x.reshape(n, c, h, w)
-        return jnp.transpose(x, (0, 2, 3, 1))
+        return _SpatialDense(self.dtype, name="Dense_0")(x)
 
 
 class BroadcastResidualBlock(nn.Module):

@@ -51,6 +51,13 @@ class RunConfig:
     eval_n: int = 128
     min_eval_n: int = 0
     eval_n_growth_window: int = 0
+    # Gating sample-size growth (round-4, VERDICT r3 weak #4: 48-game
+    # gating at small n is +/-100 Elo — coin-flip at the margins; the
+    # reference gates on 100 games, train_sp_eval.py:31-33). When
+    # eval_games_growth_window > 0, games/gen grows linearly
+    # min_eval_games -> eval_games over the window.
+    min_eval_games: int = 0
+    eval_games_growth_window: int = 0
     use_seen_state_prob: float = 0.0
     # sel_mult (config.py:54-55,112-113): base 0 disables; from gen 1 the
     # loop overrides base with 1/sel_mult_mean of the previous generation's
@@ -97,6 +104,13 @@ class RunConfig:
     # Grouped visits (SearchParams.visit_group): run g of a round's visits
     # per sweep with frozen within-group stats; 1 = reference semantics.
     visit_group: int = 4
+    # In-tree terminal evaluation mode for selfplay AND gating search
+    # ("cheap" 1-step Tromp-Taylor | "exact" full Benson scoring,
+    # SearchParams.terminal_mode). benchmarks/terminal_mode_probe.py: on
+    # UNSETTLED endings cheap flips 17.6% of winners — early-generation
+    # runs (random-ish nets) should set "exact"; trained nets pass only on
+    # settled positions where the two agree.
+    terminal_mode: str = "cheap"
 
 
 def gumbel_params_for_gen(cfg: RunConfig, gen: int,
@@ -125,6 +139,18 @@ def eval_n_for_gen(cfg: RunConfig, gen: int) -> int:
     c = min(gen / cfg.eval_n_growth_window, 1.0)
     n = int(round(cfg.min_eval_n + c * (cfg.eval_n - cfg.min_eval_n)))
     return max(n, 2 * cfg.eval_k)
+
+
+def eval_games_for_gen(cfg: RunConfig, gen: int) -> int:
+    """Linear gating-games growth min_eval_games -> eval_games over
+    eval_games_growth_window generations (round-4 gating-resolution fix;
+    rounded to a multiple of 2 so color halves stay balanced)."""
+    if cfg.eval_games_growth_window <= 0 or cfg.min_eval_games <= 0:
+        return cfg.eval_games
+    c = min(gen / cfg.eval_games_growth_window, 1.0)
+    g = int(round(cfg.min_eval_games
+                  + c * (cfg.eval_games - cfg.min_eval_games)))
+    return max(2 * (g // 2), 2)
 
 
 def parse(path_or_id: str, config_dir: str = "config") -> RunConfig:

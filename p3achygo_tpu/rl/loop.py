@@ -30,6 +30,7 @@ from p3achygo_tpu.mcts.gumbel import SearchParams, make_eval_fn
 from p3achygo_tpu.models import LossCoeffs, build_model, get_config, init_params
 from p3achygo_tpu.rl.config import (
     RunConfig,
+    eval_games_for_gen,
     eval_n_for_gen,
     gumbel_params_for_gen,
 )
@@ -223,13 +224,15 @@ class GenerationLoop:
         es = self.cfg.early_stopping_enabled
         vg = max(self.cfg.visit_group, 1)
         bl, ba = self.cfg.bias_cache_lambda, self.cfg.bias_cache_alpha
+        tm = self.cfg.terminal_mode
         params_sel = SearchParams(n=n_s, k=k_s, noise_scale=1.0, max_depth=24,
                                   early_stopping=es, visit_group=vg,
-                                  bias_lambda=bl, bias_alpha=ba)
+                                  bias_lambda=bl, bias_alpha=ba,
+                                  terminal_mode=tm)
         params_fast = SearchParams(n=n_f, k=k_f, noise_scale=1.0,
                                    max_depth=24, early_stopping=es,
                                    visit_group=vg, bias_lambda=bl,
-                                   bias_alpha=ba)
+                                   bias_alpha=ba, terminal_mode=tm)
         if self.tree is not None and self.bias is not None:
             @jax.jit
             def sp_step(states, buf, aux, tree, bias, key, golden, calib,
@@ -559,14 +562,16 @@ class GenerationLoop:
         # (get_eval_n, train_sp_eval.py:70-74); rebind the runner (and its
         # compiled ply programs) only when n actually changes.
         n_e = eval_n_for_gen(self.cfg, self.gen)
-        if getattr(self, "_eval_n", None) != n_e:
+        games_e = eval_games_for_gen(self.cfg, self.gen)
+        if getattr(self, "_eval_n", None) != (n_e, games_e):
             ev_cfg = EvalConfig(
-                num_games=self.cfg.eval_games,
+                num_games=games_e,
                 max_game_len=self.cfg.eval_max_game_len,
                 search=SearchParams(n=n_e, k=self.cfg.eval_k,
-                                    noise_scale=1.0, tau=0.0))
+                                    noise_scale=1.0, tau=0.0,
+                                    terminal_mode=self.cfg.terminal_mode))
             self._eval_runner = EvalRunner(self.model, ev_cfg)
-            self._eval_n = n_e
+            self._eval_n = (n_e, games_e)
         self.key, ke = jax.random.split(self.key)
         res = self._eval_runner.run(ke, cand, self.golden)
         return res, cand
