@@ -4,16 +4,29 @@ SURVEY §2.13 →TPU criterion: ">=80% env-steps/s scaling efficiency 1→N
 hosts". No multi-host TPU hardware is available here, so this harness
 measures the MECHANISM on CPU: the FULL tiered selfplay step (per-board
 playout-cap tiers, tree reuse, grouped visits) runs as one SPMD program
-over a jax.distributed cluster of {1, 2} processes x 4 virtual devices,
+over a jax.distributed cluster of {1, 2, 4} processes x 2 virtual devices,
 with the production host-local harvest path (`local_shards` ->
 finalize_game -> ReplayBuffer ingest) and finished-board recycling
 exercised at the real cadence.
 
-Weak scaling: each process owns B_LOCAL boards, so the global batch grows
-with the process count and ideal scaling doubles global env-steps/s at
-2 processes. Efficiency = tput(2p) / (2 * tput(1p)). CPU numbers are not
-TPU numbers, but serialization bugs, non-SPMD host work, and harvest
-stalls show up identically.
+Round-4 rework (VERDICT r3 item 5): the round-3 harness had a noisy 1p
+denominator (single trial, ±10%) and only N=2. Now:
+  - CORE-FAIR pairs: every process in a comparison gets the same core
+    share via taskset (2-core share for the 1→2 pair; 1-core share for
+    the 1→2→4 series), so adding a process adds compute like adding a
+    TPU host would.
+  - ≥5 trials for 1p baselines, 3 for multi-proc, medians reported.
+  - DECOMPOSITION: each run times (a) the pure SPMD step loop with NO
+    host work and (b) the full loop with harvest+recycle, separating the
+    collective/coordination cost (present on real pods) from host-python
+    harvest cost (which on a real pod runs on per-host CPUs that do not
+    also execute the XLA program — on this CPU mesh it steals the same
+    cores, a measurement artifact).
+  - workers share the persistent CPU compile cache (trial 2+ skip
+    compiles).
+
+Weak scaling: each process owns B_LOCAL boards; ideal = tput(N) scales
+linearly in N. Efficiency(N) = tput(Np) / (N * tput(1p, same core share)).
 
 Usage: PYTHONPATH= JAX_PLATFORMS=cpu python benchmarks/multihost_scaling.py
 Writes MULTIHOST.md at the repo root.
@@ -22,6 +35,7 @@ from __future__ import annotations
 
 import os
 import socket
+import statistics
 import subprocess
 import sys
 import time
@@ -38,7 +52,11 @@ import os, sys, time
 os.environ["JAX_PLATFORMS"] = "cpu"
 pid = int(sys.argv[1]); port = sys.argv[2]; nproc = int(sys.argv[3])
 B_LOCAL = int(sys.argv[4]); WARMUP = int(sys.argv[5]); TIMED = int(sys.argv[6])
-HARVEST_EVERY = int(sys.argv[7])
+HARVEST_EVERY = int(sys.argv[7]); CACHE = sys.argv[8]
+
+import jax
+jax.config.update("jax_compilation_cache_dir", CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from p3achygo_tpu.parallel.distributed import (
     global_mesh, host_local_to_global, init_multihost, local_shards,
@@ -46,7 +64,7 @@ from p3achygo_tpu.parallel.distributed import (
 init_multihost(f"localhost:{port}", num_processes=nproc, process_id=pid,
                local_device_count=2)
 
-import jax, jax.numpy as jnp, numpy as np
+import jax.numpy as jnp, numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 assert len(jax.local_devices()) == 2
 
@@ -102,7 +120,8 @@ with mesh:
     score_fn = jax.jit(jax.vmap(score_board))
     replay = ReplayBuffer(capacity=1 << 16, seed=pid)
     # Replicated key: every process MUST pass identical step keys or the
-    # SPMD programs diverge (the step splits per-board keys internally).
+    # SPMD programs diverge (the step splits per-board keys internally;
+    # shaped draws shard via partitionable threefry).
     key = jax.device_put(jax.random.PRNGKey(7), NamedSharding(mesh, P()))
 
     def harvest(states, buf):
@@ -135,10 +154,10 @@ with mesh:
                 n += 1
         return done_g, n
 
-    def play(nplies, states, buf, aux, tree, key):
+    def play(nplies, states, buf, aux, tree, key, with_harvest=True):
         for i in range(nplies):
             states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
-            if (i + 1) % HARVEST_EVERY == 0:
+            if with_harvest and (i + 1) % HARVEST_EVERY == 0:
                 done_g, _ = harvest(states, buf)
                 key, kr = jax.random.split(key)
                 states, buf, aux, tree = reset_fn(states, buf, aux, tree,
@@ -146,19 +165,30 @@ with mesh:
         jax.block_until_ready(states.stones)
         return states, buf, aux, tree, key
 
-    states, buf, aux, tree, key = play(WARMUP, states, buf, aux, tree, key)
+    # warmup (compiles both programs)
+    st = play(WARMUP, states, buf, aux, tree, key)
+    _ = harvest(st[0], st[1])
+
+    # (a) pure SPMD step loop, no host work
     t0 = time.time()
-    states, buf, aux, tree, key = play(TIMED, states, buf, aux, tree, key)
-    dt = time.time() - t0
-    env_steps = B * TIMED  # global env-steps (boards x plies)
-    print(f"SCALING_OK pid={pid} nproc={nproc} secs={dt:.3f} "
-          f"env_steps_per_s={env_steps / dt:.2f} "
+    st = play(TIMED, *st, with_harvest=False)
+    dt_step = time.time() - t0
+
+    # (b) full loop with harvest + recycle
+    t0 = time.time()
+    st = play(TIMED, *st, with_harvest=True)
+    dt_full = time.time() - t0
+
+    env_steps = B * TIMED
+    print(f"SCALING_OK pid={pid} nproc={nproc} "
+          f"step_only_eps={env_steps / dt_step:.2f} "
+          f"full_eps={env_steps / dt_full:.2f} "
           f"replay_examples={replay.total_added} games={replay.games_added}",
           flush=True)
 """
 
 
-def run_cluster(nproc: int) -> dict:
+def run_cluster(nproc: int, cores_per_proc: int) -> dict:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -169,18 +199,14 @@ def run_cluster(nproc: int) -> dict:
            if k not in ("XLA_FLAGS", "PYTHONPATH", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
-    # Pin each "host" to its own 2 cores so adding a process adds compute
-    # (like adding a TPU host would) instead of contending for the same
-    # cores — the measurement is about the SPMD mechanism, not the 4-core
-    # dev box. Each process also gets 2 virtual devices = its 2 cores.
-    ncores = os.cpu_count() or 4
-    per = max(ncores // max(nproc, 2), 1)
+    cache = os.path.join(REPO, ".jax_cache_cpu")
     procs = [
         subprocess.Popen(
-            ["taskset", "-c", f"{i * per}-{i * per + per - 1}",
+            ["taskset", "-c",
+             f"{i * cores_per_proc}-{(i + 1) * cores_per_proc - 1}",
              sys.executable, worker, str(i), str(port), str(nproc),
              str(B_LOCAL), str(WARMUP_PLIES), str(TIMED_PLIES),
-             str(HARVEST_EVERY)],
+             str(HARVEST_EVERY), cache],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for i in range(nproc)
@@ -203,50 +229,75 @@ def run_cluster(nproc: int) -> dict:
     return stats
 
 
-def main():
-    results = {}
-    for nproc in (1, 2):
-        t0 = time.time()
-        stats = run_cluster(nproc)
-        tput = float(stats[0]["env_steps_per_s"])
-        examples = sum(int(v["replay_examples"]) for v in stats.values())
+def measure(nproc: int, cores_per_proc: int, trials: int) -> dict:
+    step, full, games, examples = [], [], 0, 0
+    for t in range(trials):
+        stats = run_cluster(nproc, cores_per_proc)
+        step.append(float(stats[0]["step_only_eps"]))
+        full.append(float(stats[0]["full_eps"]))
         games = sum(int(v["games"]) for v in stats.values())
-        results[nproc] = dict(tput=tput, examples=examples, games=games,
-                              wall=time.time() - t0)
-        print(f"nproc={nproc}: {tput:.1f} global env-steps/s, "
-              f"{games} games harvested, {examples} examples ingested")
+        examples = sum(int(v["replay_examples"]) for v in stats.values())
+        print(f"  nproc={nproc} cores/proc={cores_per_proc} trial {t}: "
+              f"step_only={step[-1]:.1f} full={full[-1]:.1f} eps", flush=True)
+    return dict(step=statistics.median(step), full=statistics.median(full),
+                step_all=step, full_all=full, games=games, examples=examples)
 
-    eff = results[2]["tput"] / (2.0 * results[1]["tput"])
-    print(f"weak-scaling efficiency 1->2 processes: {eff:.1%}")
 
+def main():
+    ncores = os.cpu_count() or 4
+    results = {}
+    # 2-core-share pair: 1p vs 2p (uses all cores at N=2 on a 4-core box)
+    results[(1, 2)] = measure(1, 2, trials=5)
+    results[(2, 2)] = measure(2, 2, trials=3)
+    # 1-core-share series: 1p vs 2p vs 4p
+    results[(1, 1)] = measure(1, 1, trials=5)
+    results[(2, 1)] = measure(2, 1, trials=3)
+    if ncores >= 4:
+        results[(4, 1)] = measure(4, 1, trials=3)
+
+    def eff(n, share, kind):
+        return results[(n, share)][kind] / (n * results[(1, share)][kind])
+
+    lines = [
+        "# Multi-host scaling measurement (CPU mesh)",
+        "",
+        "SURVEY §2.13 →TPU criterion: >=80% env-steps/s scaling efficiency",
+        "1→N hosts. Measured on the CPU mesh (the only multi-process",
+        "environment available): jax.distributed cluster of N processes x 2",
+        "virtual devices, FULL production selfplay path (tiered search",
+        "n=16/k=4 + n=8/k=2, visit_group=2, tree reuse cap 16, host-local",
+        "harvest -> finalize_game -> ReplayBuffer, recycling every "
+        f"{HARVEST_EVERY} plies).",
+        f"Weak scaling, {B_LOCAL} boards/process. CORE-FAIR: taskset gives",
+        "every process in a comparison the same core share; 1p baselines are",
+        "5-trial medians (round-3's single-trial denominator was ±10%).",
+        "",
+        "`step-only` times the pure SPMD program (what a real TPU pod",
+        "executes); `full` adds the host-python harvest, which on a real pod",
+        "runs on per-host CPUs that do NOT also execute the XLA program —",
+        "here it steals the same cores, so step-only is the mechanism number.",
+        "",
+        "| procs | cores/proc | step-only eps | eff | full eps | eff |",
+        "|---|---|---|---|---|---|",
+    ]
+    for (n, share), r in sorted(results.items(), key=lambda kv: (kv[0][1],
+                                                                 kv[0][0])):
+        es = f"{eff(n, share, 'step'):.1%}" if n > 1 else "—"
+        ef = f"{eff(n, share, 'full'):.1%}" if n > 1 else "—"
+        lines.append(f"| {n} | {share} | {r['step']:.1f} | {es} | "
+                     f"{r['full']:.1f} | {ef} |")
+    lines += [
+        "",
+        f"Trials (step-only): " + "; ".join(
+            f"{n}p@{s}c={['%.1f' % v for v in r['step_all']]}"
+            for (n, s), r in sorted(results.items())),
+        "",
+        f"Generated by benchmarks/multihost_scaling.py "
+        f"({time.strftime('%Y-%m-%d')}).",
+    ]
     with open(os.path.join(REPO, "MULTIHOST.md"), "w") as f:
-        f.write(f"""# Multi-host scaling measurement (CPU mesh)
-
-SURVEY §2.13 →TPU criterion: >=80% env-steps/s scaling efficiency from
-1 host to N hosts. Measured here on the CPU mesh (the only multi-process
-environment available): jax.distributed cluster of 1 vs 2 processes x 4
-virtual devices each, running the FULL production selfplay path as one
-SPMD program — tiered search (selected n=16/k=4 + fast n=8/k=2,
-visit_group=2, tree reuse cap 16), host-local harvest via `local_shards`
--> `finalize_game` -> ReplayBuffer ingest, and finished-board recycling
-every {HARVEST_EVERY} plies. Weak scaling: {B_LOCAL} boards per process.
-
-| processes | global env-steps/s | games harvested | examples ingested |
-|---|---|---|---|
-| 1 | {results[1]['tput']:.1f} | {results[1]['games']} | {results[1]['examples']} |
-| 2 | {results[2]['tput']:.1f} | {results[2]['games']} | {results[2]['examples']} |
-
-**Weak-scaling efficiency 1→2: {eff:.1%}** (ideal = 100%: the global
-batch doubles and per-process work is constant; losses = coordination +
-host-side harvest serialization).
-
-Caveats: CPU virtual devices share host cores, so compute contention
-depresses the 2-process number below what distinct TPU hosts would show;
-the measured efficiency is therefore a LOWER bound on the mechanism's
-efficiency (per-host compute is elastic on real chips, the SPMD program
-and harvest path are identical). Generated by
-benchmarks/multihost_scaling.py ({time.strftime('%Y-%m-%d')}).
-""")
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
     print("wrote MULTIHOST.md")
 
 
