@@ -199,6 +199,10 @@ def run_cluster(nproc: int, cores_per_proc: int) -> dict:
            if k not in ("XLA_FLAGS", "PYTHONPATH", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
+    # Gloo pairs must ride loopback: on this box Gloo otherwise advertises
+    # the pod's primary interface, whose address peers cannot connect to
+    # ("Connect timeout" in gloo/transport/tcp/pair.h during context init).
+    env["GLOO_SOCKET_IFNAME"] = "lo"
     cache = os.path.join(REPO, ".jax_cache_cpu")
     procs = [
         subprocess.Popen(
@@ -232,7 +236,17 @@ def run_cluster(nproc: int, cores_per_proc: int) -> dict:
 def measure(nproc: int, cores_per_proc: int, trials: int) -> dict:
     step, full, games, examples = [], [], 0, 0
     for t in range(trials):
-        stats = run_cluster(nproc, cores_per_proc)
+        try:
+            stats = run_cluster(nproc, cores_per_proc)
+        except RuntimeError as e:
+            # First multi-proc attempt can die in Gloo context init: cold
+            # compiles on taskset'd cores diverge past the 30 s key-value
+            # timeout. The failed attempt still populates the persistent
+            # compile cache, so one retry starts the workers synchronized.
+            print(f"  nproc={nproc} trial {t} failed "
+                  f"({str(e).splitlines()[0][:80]}...); retrying once",
+                  flush=True)
+            stats = run_cluster(nproc, cores_per_proc)
         step.append(float(stats[0]["step_only_eps"]))
         full.append(float(stats[0]["full_eps"]))
         games = sum(int(v["games"]) for v in stats.values())

@@ -33,23 +33,27 @@ from p3achygo_tpu.game.ladder import laddered_stones
 
 
 def features(state: GoState, include_ladders: bool = True,
-             libs: jnp.ndarray = None
+             libs: jnp.ndarray = None, planes_dtype=jnp.float32
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (planes float32[19, 19, 15], scalars float32[8]) for state.to_move.
+    """-> (planes planes_dtype[19, 19, 15], scalars float32[8]) for
+    state.to_move.
 
     `libs` optionally supplies precomputed per-point chain liberty counts
     (the batched caller computes them with the Pallas kernel).
+    `planes_dtype`: all plane values are 0/1 — exact in bf16 — and the
+    model casts to its compute dtype anyway, so the serving path requests
+    bf16 to halve the [W,361,15] featurizer HBM stream.
     """
     c = state.to_move
     stones = state.stones
-    own = (stones == c).astype(jnp.float32)
-    opp = (stones == (-c)).astype(jnp.float32)
+    own = (stones == c).astype(planes_dtype)
+    opp = (stones == (-c)).astype(planes_dtype)
 
     if libs is None:
         libs = point_liberties(stones, state.chain_id)
 
     def pair(mask):
-        m = mask.astype(jnp.float32)
+        m = mask.astype(planes_dtype)
         return own * m, opp * m
 
     atari_own, atari_opp = pair(libs == 1)
@@ -60,8 +64,8 @@ def features(state: GoState, include_ladders: bool = True,
         lad = laddered_stones(state)
         lad_own, lad_opp = pair(lad)
     else:
-        lad_own = jnp.zeros((NUM_LOCS,), jnp.float32)
-        lad_opp = jnp.zeros((NUM_LOCS,), jnp.float32)
+        lad_own = jnp.zeros((NUM_LOCS,), planes_dtype)
+        lad_opp = jnp.zeros((NUM_LOCS,), planes_dtype)
 
     # last-move one-hot planes (channel i+2 = i-th oldest of the last 5).
     mv = state.last_moves  # int32[5]; -1 noop, 361 pass
@@ -69,7 +73,7 @@ def features(state: GoState, include_ladders: bool = True,
     onehots = (
         (jnp.arange(NUM_LOCS)[None, :] == jnp.clip(mv, 0, NUM_LOCS - 1)[:, None])
         & on_board[:, None]
-    ).astype(jnp.float32)  # [5, 361]
+    ).astype(planes_dtype)  # [5, 361]
 
     planes = jnp.stack(
         [
@@ -92,10 +96,13 @@ def features(state: GoState, include_ladders: bool = True,
     return planes, scalars
 
 
-def batched_features(states: GoState, include_ladders: bool = False
+def batched_features(states: GoState, include_ladders: bool = False,
+                     planes_dtype=jnp.float32
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[B] states -> (planes [B,19,19,15], scalars [B,8]); Pallas libs."""
     from p3achygo_tpu.ops.liberties import point_liberties_auto
 
     libs = point_liberties_auto(states.stones, states.chain_id)
-    return jax.vmap(lambda s, l: features(s, include_ladders, l))(states, libs)
+    return jax.vmap(
+        lambda s, l: features(s, include_ladders, l, planes_dtype)
+    )(states, libs)

@@ -201,12 +201,14 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
 
     # Optional serving path: swap the trunk for the fused Pallas kernel
     # (p3achygo_tpu/nn/trunk_kernel.py — the reference's TRT-engine
-    # counterpart, trt_engine.cc). MEASURED SLOWER at HEAD
-    # (benchmarks/bench_trunk_kernel.py: 636 ms vs 325 ms flax at
-    # W=15360 — Mosaic relayouts for the 9 unaligned row shifts per 3x3
-    # conv dominate), so default OFF until the shift scheme is reworked;
-    # kept as an opt-in engine with parity locked by
-    # tests/test_trunk_kernel.py.
+    # counterpart, trt_engine.cc). MEASURED SLOWER at HEAD, twice:
+    # v1 636 ms vs 325 flax at W=15360 (Mosaic relayouts on unaligned row
+    # shifts); v2 (trunk_kernel2.py, 16-board interleaved layout, ALL
+    # rolls tile-aligned) 584 ms vs 266 — the 9-tap [M,64]x[64,64] dot
+    # structure runs the MXU at ~25% where XLA's native 3x3 conv hits
+    # ~67% (benchmarks/results.md round 4), so fusing the elementwise
+    # traffic into the trunk costs more compute than it saves in HBM.
+    # Default OFF; parity locked by tests/test_trunk_kernel{,2}.py.
     trunk_fn = None
     if use_fused_trunk is None:
         use_fused_trunk = False
@@ -243,7 +245,12 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
                     SYM_SCATTER[sym, jnp.clip(ko, 0, NUM_LOCS - 1)], ko),
             )
             sym_oh = jax.nn.one_hot(sym, NUM_SYMMETRIES)  # [B, 8]
-        planes, scalars = batched_features(states, include_ladders)
+        # Serve planes in the model's compute dtype: every plane value is
+        # 0/1 (exact in bf16) and the model casts anyway, so a bf16 model
+        # halves the [W,361,15] featurizer HBM stream.
+        planes, scalars = batched_features(
+            states, include_ladders,
+            planes_dtype=getattr(model, "dtype", jnp.float32))
         out = model.apply(variables, planes, scalars, train=False,
                           trunk_fn=trunk_fn)
         pi_logits = out.pi_logits

@@ -9,5 +9,6 @@ flax model via `P3achyGoModel.__call__(trunk_fn=...)` for the search
 path while training keeps the differentiable flax graph.
 """
 from p3achygo_tpu.nn.trunk_kernel import build_trunk_fn, trunk_supported
+from p3achygo_tpu.nn.trunk_kernel2 import build_trunk_fn_v2
 
-__all__ = ["build_trunk_fn", "trunk_supported"]
+__all__ = ["build_trunk_fn", "build_trunk_fn_v2", "trunk_supported"]

@@ -20,9 +20,11 @@ relayout by construction:
   activation read+write per segment instead of two per ConvBlock.
 
   ACCUMULATED TAPS: inner 3x3 convs accumulate nine [M,Cb]x[Cb,Cb]
-  matmuls (h += roll(t) * mask @ W_tap) instead of materializing the
-  [M, 9*Cb] concat — peak VMEM stays ~5 MB at C=128, so a grid step
-  can carry all 16 boards of a group.
+  matmuls. The dot runs FIRST and the roll applies to its output
+  (roll(t,-s) @ W == roll(t @ W, -s); the edge mask is a per-row scalar
+  so it commutes too): exactly one [M,Cb] intermediate is live per tap,
+  vs nine rolled inputs (50.5 MB, past the 16 MB scoped-VMEM limit) or
+  a [M, 9*Cb] concat.
 
 Semantics mirror cc/nn/engine/trt_engine.cc's role (fused, BN-folded
 serving engine); weight folding reuses trunk_kernel.build_trunk_weights
@@ -113,12 +115,19 @@ def _make_segment_kernel(n_blocks: int, inner: int, channels: int):
                 w9 = take()  # [9*Cb, Cb] in OFFSETS order
                 cb = w9.shape[1]
                 t = _bn_mish(h, i_a, i_b)
+                # roll(t, -s) @ W == roll(t @ W, -s), and the edge mask is a
+                # per-row scalar so it commutes with the row-wise dot: doing
+                # the dot FIRST keeps exactly one [M, Cb] live intermediate
+                # per tap (the 9-rolled-inputs form blew the 16 MB scoped
+                # VMEM limit: 50.5 MB at C=128).
                 acc = jnp.zeros((M, cb), jnp.float32)
                 for o, (di, dj) in enumerate(OFFSETS):
                     s = (di * BOARD + dj) * GROUP
-                    tt = t if s == 0 else jnp.roll(t, -s, axis=0)
-                    acc += jnp.dot(tt * masks[o], w9[o * cb:(o + 1) * cb],
-                                   preferred_element_type=jnp.float32)
+                    v = jnp.dot(t, w9[o * cb:(o + 1) * cb],
+                                preferred_element_type=jnp.float32)
+                    if s != 0:
+                        v = jnp.roll(v, -s, axis=0)
+                    acc += masks[o].astype(jnp.float32) * v
                 h = acc.astype(jnp.bfloat16)
             e_a, e_b, we = take(), take(), take()
             y = jnp.dot(_bn_mish(h, e_a, e_b), we,
@@ -149,6 +158,12 @@ def _segment_call(xi, n_blocks, inner, channels, interpret, *arrs):
         in_specs=[blk] + [w_spec(a) for a in arrs],
         out_specs=blk,
         interpret=interpret,
+        # Mosaic's stack accounting keeps the unrolled taps' [M,Cb]
+        # intermediates live (~40 MB for a 3-block segment at C=128) and
+        # the default scoped-VMEM limit is 16 MB; v5e has 128 MB physical
+        # VMEM, so raise the ceiling instead of shrinking the segment.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(xi, *arrs)
 
 
