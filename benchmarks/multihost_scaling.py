@@ -55,8 +55,14 @@ B_LOCAL = int(sys.argv[4]); WARMUP = int(sys.argv[5]); TIMED = int(sys.argv[6])
 HARVEST_EVERY = int(sys.argv[7]); CACHE = sys.argv[8]
 
 import jax
-jax.config.update("jax_compilation_cache_dir", CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+# Persistent-cache config is POISON in multi-process clusters here: with
+# it enabled the workers' Gloo context init reliably dies (one side's
+# GetKeyValue times out at 30 s / the peer's TCP pair connect times out;
+# bisected round 4 — the round-3 no-cache worker runs fine). Cache only
+# the single-process baselines, where there are no collectives.
+if nproc == 1 and CACHE != "none":
+    jax.config.update("jax_compilation_cache_dir", CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from p3achygo_tpu.parallel.distributed import (
     global_mesh, host_local_to_global, init_multihost, local_shards,
@@ -199,10 +205,7 @@ def run_cluster(nproc: int, cores_per_proc: int) -> dict:
            if k not in ("XLA_FLAGS", "PYTHONPATH", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
-    # Gloo pairs must ride loopback: on this box Gloo otherwise advertises
-    # the pod's primary interface, whose address peers cannot connect to
-    # ("Connect timeout" in gloo/transport/tcp/pair.h during context init).
-    env["GLOO_SOCKET_IFNAME"] = "lo"
+    env.pop("GLOO_SOCKET_IFNAME", None)
     cache = os.path.join(REPO, ".jax_cache_cpu")
     procs = [
         subprocess.Popen(
