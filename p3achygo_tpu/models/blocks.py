@@ -120,43 +120,28 @@ class NbtResidualBlock(nn.Module):
         return res + x
 
 
-class _SpatialDense(nn.Module):
-    """Dense over the flattened spatial dims, shared across channels,
-    expressed as ONE 4D dot_general with no reshape/transpose of the
-    activations. Param tree matches nn.Dense ('kernel' [361,361], 'bias'
-    [361]; lecun_normal fan-in = 361 either way) so checkpoints carry
-    over."""
+class Broadcast(nn.Module):
+    """Per-channel global mix: dense over the flattened 361 spatial dims
+    (model.py:509-581 BroadcastPreAct: act -> flatten -> dense -> expand).
+
+    TPU note (measured round 4): a 4D dot_general 'bhwc,hwkl->bklc' was
+    tried to kill the transpose chain — the trace shows XLA materializes
+    the [19,19,W,C] transposed operand for the contraction EITHER WAY
+    (~10 ms per block at W=15360), and end-to-end the einsum form cost
+    ~3% of bench moves/s (594 -> 577, benchmarks/results.md). The explicit
+    transpose->Dense->transpose chain is kept: same HBM traffic, better
+    tiling at the mixed search widths."""
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (h * w, h * w))
-        bias = self.param("bias", nn.initializers.zeros, (h * w,))
-        k4 = kernel.astype(self.dtype).reshape(h, w, h, w)
-        y = jnp.einsum("bhwc,hwkl->bklc", x, k4)
-        return y + bias.astype(self.dtype).reshape(1, h, w, 1)
-
-
-class Broadcast(nn.Module):
-    """Per-channel global mix: dense over the flattened 361 spatial dims
-    (model.py:509-581 BroadcastPreAct: act -> flatten -> dense -> expand).
-
-    TPU shape: the reference transposes NHWC -> NC(HW), Denses over HW and
-    transposes back; on TPU that chain materialized two [15360,128,19,19]
-    copies per block (32 ms of the 324 ms model forward at W=15360,
-    benchmarks/results.md round-4). Contracting (h, w) directly in one 4D
-    dot_general needs no data movement at all — XLA folds the spatial
-    contraction into the matmul's dimension numbers."""
-
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
         x = mish(x)
-        return _SpatialDense(self.dtype, name="Dense_0")(x)
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, c, h * w)
+        x = nn.Dense(h * w, dtype=self.dtype)(x)
+        x = x.reshape(n, c, h, w)
+        return jnp.transpose(x, (0, 2, 3, 1))
 
 
 class BroadcastResidualBlock(nn.Module):
