@@ -28,8 +28,21 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-DEFAULT_CKPT = os.path.join(os.path.dirname(__file__), "..",
-                            "runs", "curve15", "model_0007")
+# Trained-weights default: the newest golden of the round-4 curve run
+# (runs/ is wiped between rounds; results/curve-r4 keeps committed
+# copies of gen0/mid/final checkpoints for exactly this use).
+def _default_ckpt():
+    for root in ("runs/curve-r4", "results/curve-r4", "runs/curve15"):
+        base = os.path.join(os.path.dirname(__file__), "..", root)
+        if not os.path.isdir(base):
+            continue
+        models = sorted(d for d in os.listdir(base) if d.startswith("model_"))
+        if models:
+            return os.path.join(base, models[-1])
+    return "random"
+
+
+DEFAULT_CKPT = _default_ckpt()
 
 
 def main():
