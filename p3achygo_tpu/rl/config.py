@@ -131,23 +131,39 @@ def gumbel_params_for_gen(cfg: RunConfig, gen: int,
     return max(n, 2 * k), max(k, 2)
 
 
+def _quantize_gen(gen: int, window: int, steps: int = 4) -> float:
+    """Growth fraction quantized to `steps` buckets over `window` gens.
+
+    Continuous per-gen growth changes the gating program's static shapes
+    (n, games) EVERY generation, which forces a fresh XLA compile of the
+    eval program per gen — ~10-15 min each through this environment's
+    compile relay (round-4 curve measurement). Bucketed growth recompiles
+    at most `steps` times per run with the same endpoints."""
+    if window <= 0:
+        return 1.0
+    c = min(gen / window, 1.0)
+    return min(int(c * steps + 1e-9), steps) / steps
+
+
 def eval_n_for_gen(cfg: RunConfig, gen: int) -> int:
-    """Linear eval-n growth min_eval_n -> eval_n over eval_n_growth_window
-    generations (get_eval_n, train_sp_eval.py:70-74)."""
+    """Bucketed eval-n growth min_eval_n -> eval_n over
+    eval_n_growth_window generations (get_eval_n, train_sp_eval.py:70-74;
+    quantized — see _quantize_gen)."""
     if cfg.eval_n_growth_window <= 0:
         return cfg.eval_n
-    c = min(gen / cfg.eval_n_growth_window, 1.0)
+    c = _quantize_gen(gen, cfg.eval_n_growth_window)
     n = int(round(cfg.min_eval_n + c * (cfg.eval_n - cfg.min_eval_n)))
     return max(n, 2 * cfg.eval_k)
 
 
 def eval_games_for_gen(cfg: RunConfig, gen: int) -> int:
-    """Linear gating-games growth min_eval_games -> eval_games over
+    """Bucketed gating-games growth min_eval_games -> eval_games over
     eval_games_growth_window generations (round-4 gating-resolution fix;
-    rounded to a multiple of 2 so color halves stay balanced)."""
+    quantized — see _quantize_gen; rounded to a multiple of 2 so color
+    halves stay balanced)."""
     if cfg.eval_games_growth_window <= 0 or cfg.min_eval_games <= 0:
         return cfg.eval_games
-    c = min(gen / cfg.eval_games_growth_window, 1.0)
+    c = _quantize_gen(gen, cfg.eval_games_growth_window)
     g = int(round(cfg.min_eval_games
                   + c * (cfg.eval_games - cfg.min_eval_games)))
     return max(2 * (g // 2), 2)
