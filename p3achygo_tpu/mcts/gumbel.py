@@ -181,7 +181,8 @@ class GumbelResult(NamedTuple):
 def make_eval_fn(model, variables, symmetrize: bool = True,
                  include_ladders: bool = False,
                  p_opt_weight: float = 0.0,
-                 use_fused_trunk: Optional[bool] = None) -> EvalFn:
+                 use_fused_trunk: Optional[bool] = None,
+                 serve_fold: bool = False) -> EvalFn:
     """NN eval adapter: featurize states, run the model, reduce outputs.
 
     With `symmetrize`, each query is evaluated under a D4 symmetry picked
@@ -195,6 +196,12 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
     interpolates per node; the tree stores one prior set, so the blend
     happens here once per eval — same search behavior since priors are
     write-once at node creation).
+
+    `serve_fold` routes the model call through the folded, head-pruned
+    serving graph (p3achygo_tpu/nn/serve.py — the TRT-engine analogue:
+    BN affines folded into producer convs, training-only heads skipped).
+    Parity: tests/test_serve_fold.py. Kept opt-in so existing compiled
+    programs (the curve run's cache) stay valid; bench.py turns it on.
     """
     score_values = (jnp.arange(NUM_SCORE_LOGITS, dtype=jnp.float32)
                     - SCORE_INFLECTION_POINT + 0.5)
@@ -217,6 +224,15 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
 
         if trunk_supported(model.config):
             trunk_fn = build_trunk_fn(model.config, variables)
+
+    serve_apply = None
+    if serve_fold and getattr(model, "config", None) is not None:
+        from p3achygo_tpu.nn.serve import serve_forward, serve_supported
+
+        if serve_supported(model.config):
+            serve_apply = lambda planes, scalars: serve_forward(
+                model, variables, planes, scalars,
+                want_optimistic=p_opt_weight > 0.0)
 
     # Module-level imports (top of file): importing these INSIDE a traced
     # function would stage their module-level constant tables onto the
@@ -251,8 +267,11 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
         planes, scalars = batched_features(
             states, include_ladders,
             planes_dtype=getattr(model, "dtype", jnp.float32))
-        out = model.apply(variables, planes, scalars, train=False,
-                          trunk_fn=trunk_fn)
+        if serve_apply is not None:
+            out = serve_apply(planes, scalars)
+        else:
+            out = model.apply(variables, planes, scalars, train=False,
+                              trunk_fn=trunk_fn)
         pi_logits = out.pi_logits
         if p_opt_weight > 0.0:
             # Blend in probability space (the reference blends probs, not
