@@ -41,6 +41,13 @@ BASELINE_MOVES_PER_SEC = 325.0
 WARMUP_PLIES = int(os.environ.get("BENCH_WARMUP_PLIES", "100"))
 TIMED_PLIES = int(os.environ.get("BENCH_TIMED_PLIES", "32"))
 RESET_EVERY = 16  # production harvest cadence (rl/loop.py:297)
+# Noise floor (VERDICT r4 weak #5): repeat the timed window TRIALS times
+# on the same warmed state and report the median; min/max spread goes in
+# the JSON so cross-round deltas are interpretable (same-day controls in
+# round 4 showed ~2% environment drift on single-shot windows).
+TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
+# Serving graph: BN-folded, head-pruned forward (p3achygo_tpu/nn/serve.py).
+SERVE_FOLD = os.environ.get("BENCH_SERVE_FOLD", "1") == "1"
 
 
 def main():
@@ -68,7 +75,7 @@ def main():
 
     model = build_model(get_config("b12c128btl3"), dtype=jnp.bfloat16)
     variables = init_params(model, jax.random.PRNGKey(0))
-    eval_fn = make_eval_fn(model, variables)
+    eval_fn = make_eval_fn(model, variables, serve_fold=SERVE_FOLD)
 
     reuse_capacity = 64
 
@@ -107,24 +114,31 @@ def main():
             states, buf, aux, tree = recycle(states, buf, aux, tree, kr)
     jax.block_until_ready(states.stones)
 
-    active_counts = []
-    t0 = time.time()
-    for i in range(TIMED_PLIES):
-        active_counts.append(jnp.sum(~finished_mask(states, cfg)))
-        states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
-        if (i + 1) % RESET_EVERY == 0:
-            key, kr = jax.random.split(key)
-            states, buf, aux, tree = recycle(states, buf, aux, tree, kr)
-    jax.block_until_ready(states.stones)
-    dt = time.time() - t0
+    trial_rates = []
+    for _ in range(TRIALS):
+        active_counts = []
+        t0 = time.time()
+        for i in range(TIMED_PLIES):
+            active_counts.append(jnp.sum(~finished_mask(states, cfg)))
+            states, buf, aux, tree, key = sp_step(states, buf, aux, tree, key)
+            if (i + 1) % RESET_EVERY == 0:
+                key, kr = jax.random.split(key)
+                states, buf, aux, tree = recycle(states, buf, aux, tree, kr)
+        jax.block_until_ready(states.stones)
+        dt = time.time() - t0
+        moves = int(sum(int(c) for c in active_counts))
+        trial_rates.append(moves / dt)
 
-    moves = int(sum(int(c) for c in active_counts))
-    moves_per_sec = moves / dt
+    trial_rates.sort()
+    moves_per_sec = trial_rates[len(trial_rates) // 2]
     print(json.dumps({
         "metric": "selfplay_moves_per_sec_per_chip_b12c128_refmix_steady",
         "value": round(moves_per_sec, 2),
         "unit": "moves/s/chip",
         "vs_baseline": round(moves_per_sec / BASELINE_MOVES_PER_SEC, 3),
+        "trials": len(trial_rates),
+        "spread": [round(trial_rates[0], 2), round(trial_rates[-1], 2)],
+        "serve_fold": SERVE_FOLD,
     }))
 
 

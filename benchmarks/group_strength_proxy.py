@@ -14,7 +14,7 @@ BOTH production tiers (selected n=128/k=8, fast n=32/k=5 — bench.py's
 reference mix).
 
 Usage: python benchmarks/group_strength_proxy.py [G] [games] [ckpt|random]
-       (TPU env, ONE process)
+       [tiers: both|selected|fast]   (TPU env, ONE process)
 """
 import os
 import sys
@@ -55,6 +55,7 @@ def main():
     G = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     games = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     ckpt = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_CKPT
+    tiers = sys.argv[4] if len(sys.argv) > 4 else "both"
 
     model = build_model(get_config("b8c64"), dtype=jnp.bfloat16)
     variables = init_params(model, jax.random.PRNGKey(7))
@@ -70,6 +71,8 @@ def main():
         print("weights: random-init", flush=True)
 
     for tier, (n, k) in (("selected", (128, 8)), ("fast", (32, 5))):
+        if tiers != "both" and tier != tiers:
+            continue
         cfg = EvalConfig(
             num_games=games, max_game_len=220,
             search=SearchParams(n=n, k=k, noise_scale=1.0, tau=0.0),

@@ -55,13 +55,17 @@ B_LOCAL = int(sys.argv[4]); WARMUP = int(sys.argv[5]); TIMED = int(sys.argv[6])
 HARVEST_EVERY = int(sys.argv[7]); CACHE = sys.argv[8]
 
 import jax
-# Persistent-cache config is POISON in multi-process clusters here: with
-# it enabled the workers' Gloo context init reliably dies (one side's
-# GetKeyValue times out at 30 s / the peer's TCP pair connect times out;
-# bisected round 4 — the round-3 no-cache worker runs fine). Cache only
-# the single-process baselines, where there are no collectives.
-if nproc == 1 and CACHE != "none":
-    jax.config.update("jax_compilation_cache_dir", CACHE)
+# Persistent-cache coordination is POISON in multi-process clusters here:
+# a SHARED cache dir makes the workers' Gloo context init reliably die
+# (one side's GetKeyValue times out at 30 s / the peer's TCP pair connect
+# times out; bisected round 4 — mixed cache hit/miss skews the processes
+# past Gloo's 30 s connect window, and concurrent writes race). Round-5
+# fix: a PER-PROCESS cache dir — no cross-process sharing or races, all
+# workers see identical hit/miss timing, and trial 2+ still skips every
+# compile (each pid re-reads its own dir across trials).
+if CACHE != "none":
+    cache_dir = CACHE if nproc == 1 else f"{CACHE}_p{pid}of{nproc}"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from p3achygo_tpu.parallel.distributed import (
