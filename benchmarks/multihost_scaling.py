@@ -127,6 +127,27 @@ with mesh:
         return reset_finished(states, buf, aux, done, cfg.komi, key,
                               max_raw_policy_moves=0, reuse_tree=tree)
 
+    # Gloo's first-collective rendezvous has a HARD-CODED 30 s window
+    # (GetKeyValue timeout in XLA's gloo kv-store); single-core workers
+    # skew past it on startup/tracing/compile (round-5 bisect: warm
+    # caches alone did not fix 2p@1c). Eliminate the skew instead of
+    # racing it: (1) AOT lower+compile every SPMD program BEFORE any
+    # execution — this populates the per-process persistent cache, so the
+    # later jit calls re-trace cheaply and hit it; (2) meet at a pure
+    # KV-store barrier (10 min window, no Gloo); (3) establish the Gloo
+    # clique with a trivial all-reduce executed in lockstep. The big
+    # programs then reuse the established context.
+    key0 = jax.device_put(jax.random.PRNGKey(7), NamedSharding(mesh, P()))
+    done0 = finished_mask(states, cfg)  # per-board ops: no collectives
+    sp_step.lower(states, buf, aux, tree, key0).compile()
+    reset_fn.lower(states, buf, aux, tree, done0, key0).compile()
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
+        _dist.global_state.client.wait_at_barrier("aot_compile_done",
+                                                  600_000)
+    jax.block_until_ready(
+        jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))(done0))
+
     score_fn = jax.jit(jax.vmap(score_board))
     replay = ReplayBuffer(capacity=1 << 16, seed=pid)
     # Replicated key: every process MUST pass identical step keys or the
