@@ -39,9 +39,13 @@ N_LO, N_HI = 4, 16
 W = int(os.environ.get("ROOFLINE_W", "15360"))
 
 
-def slope_ms(make_chain, *args):
-    lo = jax.jit(functools.partial(make_chain, n=N_LO))
-    hi = jax.jit(functools.partial(make_chain, n=N_HI))
+def slope_ms(make_chain, *args, n_lo=N_LO, n_hi=N_HI):
+    """Per-iteration cost from the (n_hi - n_lo) slope; tunnel dispatch
+    noise is ~10 ms, so choose n_hi large enough that the delta >> 10 ms
+    (the first run used 16 iters for the micro kernels and measured
+    negative slopes — pure noise)."""
+    lo = jax.jit(functools.partial(make_chain, n=n_lo))
+    hi = jax.jit(functools.partial(make_chain, n=n_hi))
     jax.block_until_ready(lo(*args))
     jax.block_until_ready(hi(*args))
 
@@ -52,7 +56,7 @@ def slope_ms(make_chain, *args):
 
     tlo = min(t(lo) for _ in range(3))
     thi = min(t(hi) for _ in range(3))
-    return (thi - tlo) / (N_HI - N_LO) * 1000
+    return (thi - tlo) / (n_hi - n_lo) * 1000
 
 
 def triad_chain(x, y, n):
@@ -137,14 +141,14 @@ def main():
     n = 64 * 1024 * 1024  # 256 MB f32
     x = jax.random.normal(key, (n,), jnp.float32)
     y = jnp.zeros((n,), jnp.float32)
-    ms = slope_ms(triad_chain, x, y)
+    ms = slope_ms(triad_chain, x, y, n_lo=8, n_hi=128)
     bw = 3 * n * 4 / (ms / 1000) / 1e9  # read x, read y, write y
     print(f"HBM triad: {ms:.2f} ms/iter -> {bw:.0f} GB/s", flush=True)
 
     # 2. MXU peak bf16
     a = jax.random.normal(key, (4096, 4096), jnp.bfloat16)
     b = jax.random.normal(key, (4096, 4096), jnp.bfloat16)
-    ms = slope_ms(matmul_chain, a, b)
+    ms = slope_ms(matmul_chain, a, b, n_lo=8, n_hi=512)
     pk = 2 * 4096**3 / (ms / 1000) / 1e12
     print(f"bf16 4096^3 matmul: {ms:.2f} ms/iter -> {pk:.1f} TFLOP/s", flush=True)
 
