@@ -90,6 +90,9 @@ class RunConfig:
     # fresh games start with 2-4 handicap stones (kHandicapGame).
     randomize_komi: bool = True
     handicap_game_prob: float = 0.05
+    # Opening book (kPlayFromBookProb, self_play_thread.cc:50 — the
+    # reference ships 0.0; mechanism carried for parity, selfplay/book.py).
+    play_from_book_prob: float = 0.0
     # Fork manager (fork_manager.h): position-diversity sampling into the
     # reuse buffer. Probabilities scale with use_seen_state_prob via
     # ForkParams.for_reuse; regret forks feed the regret-guided buffer.

@@ -437,15 +437,32 @@ class GenerationLoop:
                 komi[b] = (np.round(7.0 + np.clip(rng.normal(), -3.0, 3.0))
                            + (0.5 if rng.uniform() < 0.5 else -0.5))
             p = rng.uniform()
-            if p <= cfg.handicap_game_prob:
+            if p <= cfg.play_from_book_prob:
+                # Opening book (GetInitState, self_play_thread.cc:216-232):
+                # random prefix of a random fixed line, BLACK first.
+                from p3achygo_tpu.selfplay.book import sample_book_prefix
+
+                prefix = sample_book_prefix(rng)
+                color = 1
+                moves = []
+                for loc in prefix:
+                    stones[b, loc] = color
+                    moves.append(loc)
+                    color = -color
+                for i, loc in enumerate(moves[-5:]):
+                    last_moves[b, 5 - len(moves[-5:]) + i] = loc
+                to_move[b] = color
+                move_num[b] = len(moves)
+                self._note_new_game(b, is_fresh=True, init_mv=len(moves))
+            elif p <= cfg.play_from_book_prob + cfg.handicap_game_prob:
                 h = int(np.floor(rng.uniform() * 3 + 2))  # 2..4 stones
                 komi[b] = (h - 2) * 14 + 20.5  # katago ;) (ssp.cc:238)
                 for loc in self._HANDICAP_STONES[:h]:
                     stones[b, loc] = 1
                 to_move[b] = -1  # WHITE moves first
                 self._note_new_game(b, is_fresh=True, init_mv=0)
-            elif (p <= cfg.handicap_game_prob + cfg.use_seen_state_prob
-                  and len(self.reuse) > 0):
+            elif (p <= cfg.play_from_book_prob + cfg.handicap_game_prob
+                  + cfg.use_seen_state_prob and len(self.reuse) > 0):
                 st = self.reuse.get()
                 if st is None:
                     self._note_new_game(b, is_fresh=True, init_mv=0)
