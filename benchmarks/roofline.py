@@ -101,9 +101,9 @@ def model_bytes_flops(cfg, w, dtype_bytes=2):
     # count each inner conv's in+out since VMEM can't always carry W
     # boards... use the OPTIMISTIC fused number and the PER-CONV number.
     btl_opt = (act(C) + act(Bn)) + (act(Bn) + act(Bn)) + \
-              (act(Bn) + act(C) + act(C) + act(C))  # expand: in + stream-read + out
+              (act(Bn) + act(C) + act(C))  # expand: in + stream-read + out
     btl_per = (act(C) + act(Bn)) + inner * (act(Bn) + act(Bn)) + \
-              (act(Bn) + act(C) + act(C) + act(C))
+              (act(Bn) + act(C) + act(C))
     fl_btl = (w * P * C * Bn * 2) + inner * (w * P * Bn * Bn * 2 * 9) + \
              (w * P * Bn * C * 2)
     by_btl_opt = n_btl * btl_opt
