@@ -182,7 +182,8 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
                  include_ladders: bool = False,
                  p_opt_weight: float = 0.0,
                  use_fused_trunk: Optional[bool] = None,
-                 serve_fold: bool = False) -> EvalFn:
+                 serve_fold: bool = False,
+                 serve_q_scales=None) -> EvalFn:
     """NN eval adapter: featurize states, run the model, reduce outputs.
 
     With `symmetrize`, each query is evaluated under a D4 symmetry picked
@@ -226,7 +227,19 @@ def make_eval_fn(model, variables, symmetrize: bool = True,
             trunk_fn = build_trunk_fn(model.config, variables)
 
     serve_apply = None
-    if serve_fold and getattr(model, "config", None) is not None:
+    if serve_q_scales is not None and getattr(model, "config", None) is not None:
+        # int8-activation serving graph (nn/serve_q.py, ROOFLINE.md lever
+        # #1). scales come from serve_q.calibrate on real positions;
+        # opt-in and bf16-default preserved pending strength validation
+        # (the visit_group precedent: benchmarks/results.md round 5).
+        from p3achygo_tpu.nn.serve_q import q_supported, serve_q_forward
+
+        if q_supported(model.config):
+            serve_apply = lambda planes, scalars: serve_q_forward(
+                model, variables, planes, scalars, scales=serve_q_scales,
+                want_optimistic=p_opt_weight > 0.0)
+    if serve_apply is None and serve_fold \
+            and getattr(model, "config", None) is not None:
         from p3achygo_tpu.nn.serve import serve_forward, serve_supported
 
         if serve_supported(model.config):

@@ -175,6 +175,13 @@ def serve_forward(model, variables, board_state, game_state,
         else:
             raise ValueError(cfg.trunk_block_type)
 
+    return run_heads(params, stats, x, dtype, want_optimistic)
+
+
+def run_heads(params, stats, x, dtype,
+              want_optimistic: bool = False) -> ModelOutputs:
+    """Search-consumed heads on a trunk output `x` (shared by the folded
+    bf16 graph above and the int8-activation graph in serve_q.py)."""
     # ---- policy head (heads.py PolicyHead), aux/soft skipped ----
     ph, sh = params["policy_head"], stats["policy_head"]
     n = x.shape[0]
