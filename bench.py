@@ -48,6 +48,10 @@ RESET_EVERY = 16  # production harvest cadence (rl/loop.py:297)
 TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
 # Serving graph: BN-folded, head-pruned forward (p3achygo_tpu/nn/serve.py).
 SERVE_FOLD = os.environ.get("BENCH_SERVE_FOLD", "1") == "1"
+# int8-ACTIVATION serving graph (p3achygo_tpu/nn/serve_q.py, ROOFLINE.md
+# lever #1). OPT-IN A/B knob only — the official number stays bf16 until
+# int8 serving passes a strength match (the visit_group precedent).
+SERVE_Q = os.environ.get("BENCH_SERVE_Q", "0") == "1"
 
 
 def main():
@@ -75,7 +79,32 @@ def main():
 
     model = build_model(get_config("b12c128btl3"), dtype=jnp.bfloat16)
     variables = init_params(model, jax.random.PRNGKey(0))
-    eval_fn = make_eval_fn(model, variables, serve_fold=SERVE_FOLD)
+    serve_q_scales = None
+    if SERVE_Q:
+        from p3achygo_tpu.features import batched_features
+        from p3achygo_tpu.game.board import legal_mask, step
+        from p3achygo_tpu.nn.serve_q import calibrate
+
+        # Calibration positions: random playouts to mixed plies (same
+        # protocol as benchmarks/int8_serve_probe.py — empty boards would
+        # under-range every site).
+        calib = jax.vmap(lambda _: new_state(7.5))(jnp.arange(1024))
+        ck = jax.random.PRNGKey(7)
+
+        @jax.jit
+        def rstep(states, key):
+            lm = jax.vmap(legal_mask)(states)
+            mv = jax.random.categorical(key, jnp.where(lm, 0.0, -1e9), -1)
+            return jax.vmap(step)(states, mv.astype(jnp.int32))[0]
+
+        for _ in range(60):
+            ck, ks = jax.random.split(ck)
+            calib = rstep(calib, ks)
+        cp, cs = batched_features(calib, False, planes_dtype=jnp.bfloat16)
+        serve_q_scales = jax.jit(
+            lambda p, s: calibrate(model, variables, p, s))(cp, cs)
+    eval_fn = make_eval_fn(model, variables, serve_fold=SERVE_FOLD,
+                           serve_q_scales=serve_q_scales)
 
     reuse_capacity = 64
 
