@@ -99,6 +99,19 @@ def main():
     cfg = get_config("b12c128btl3")
     model = build_model(cfg, dtype=jnp.bfloat16)
     variables = init_params(model, jax.random.PRNGKey(0))
+    ckpt = sys.argv[1] if len(sys.argv) > 1 else ""
+    if ckpt and os.path.isdir(ckpt):
+        from p3achygo_tpu.train.checkpoint import restore_checkpoint
+
+        tmpl = {"params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+                "step": jnp.zeros((), jnp.int32)}
+        full = restore_checkpoint(ckpt, tmpl)
+        variables = {"params": full["params"],
+                     "batch_stats": full["batch_stats"]}
+        print(f"weights: {ckpt}", flush=True)
+    else:
+        print("weights: random-init", flush=True)
 
     # --- calibration (1024 positions, mixed plies) + eval set ---
     calib_states = playout_positions(
